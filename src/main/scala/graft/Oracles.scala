@@ -1,0 +1,212 @@
+package graft
+
+import graft.sources.{Layers, OsmElements, WebPagesSynth => W}
+import graft.ops.{Ann, Dedup, TextStats, TileAssign}
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[SparkEntry]].
+  * Generated from the SAME Scala constants the Spark plans use (formulas
+  * live once, in the sources/ops objects), so the two sides cannot drift.
+  * All comparison outputs are BIGINT/VARCHAR; every float intermediate is
+  * the identical IEEE op sequence on both engines.
+  */
+object Oracles {
+
+  // ---- shared CTE fragments ----
+  val entsCte: String =
+    s"""ents AS (SELECT ${W.urlSql} AS url, k AS ent_idx, ${W.lonmSql("k")} AS lonm,
+       |  ${W.latmSql("k")} AS latm, lang, pt AS text
+       |  FROM (SELECT doc_id, ${W.pageTextSql} AS pt, lang,
+       |        unnest(range(${W.nEntsSql})) AS k FROM documents) t)""".stripMargin.replace("\n", " ")
+
+  val polysCte: String =
+    s"polys AS (SELECT p_partkey AS poly_id, ${Layers.polyCxSql} AS cx, ${Layers.polyCySql} AS cy, " +
+      s"${Layers.polyRSql} AS r FROM part)"
+
+  val poisCte: String =
+    s"pois AS (SELECT s_suppkey AS poi_id, ${Layers.poiXSql} AS px, ${Layers.poiYSql} AS py FROM supplier)"
+
+  val eLon = "(e.lonm / 20.0 - 180.0)"
+  val eLat = "(e.latm / 20.0 - 70.0)"
+  def cellX(lon: String) = s"greatest(0, least(63, CAST(floor(($lon + 180.0) / 360.0 * 64.0) AS BIGINT)))"
+  def cellY(lat: String) = s"greatest(0, least(63, CAST(floor(($lat + 90.0) / 180.0 * 64.0) AS BIGINT)))"
+  val pipPred = s"abs($eLon - p.cx) + abs($eLat - p.cy) < p.r"
+
+  val corpusToksCte: String =
+    s"""corpus AS ${Dedup.corpusSql},
+       |toks AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok FROM corpus)),
+       |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid FROM (SELECT DISTINCT tok FROM toks)),
+       |tt AS (SELECT doc_id, tid FROM toks JOIN vocab USING (tok))""".stripMargin.replace("\n", " ")
+
+  /** Word-3-shingle variant of the above (minhash runs on shingles). */
+  val corpusShCte: String =
+    s"""corpus AS ${Dedup.corpusSql},
+       |tokarr AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM
+       |  (SELECT doc_id, array_to_string(a[i+1:i+3], ' ') AS sh FROM
+       |    (SELECT doc_id, a, unnest(range(len(a) - 2)) AS i FROM tokarr WHERE len(a) >= 3) x) y),
+       |vocab AS (SELECT sh, row_number() OVER (ORDER BY sh) AS tid FROM (SELECT DISTINCT sh FROM sh)),
+       |tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (sh))""".stripMargin.replace("\n", " ")
+
+  val quantElsCte: String =
+    s"""quant AS (SELECT vec_id, ${Ann.quantSqlExpr} AS q FROM embeddings),
+       |els AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS i FROM quant)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Same, over the planted-duplicate embedding corpus (near-dup query). */
+  val quantElsCorpusCte: String =
+    s"""ecorpus AS ${Ann.corpusSql},
+       |quant AS (SELECT vec_id, ${Ann.quantSqlExpr} AS q FROM ecorpus),
+       |els AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS i FROM quant)"""
+      .stripMargin.replace("\n", " ")
+
+  // ---- per-query SQL ----
+  val sql: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | count(*) AS n, CAST(min(l_orderkey) AS BIGINT) AS min_ok, CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "q02_join_topn" ->
+      """SELECT c_mktsegment, rnk, o_orderkey FROM (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+
+    "q03_window_events" ->
+      """SELECT user_id, rnk, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        |  FROM events) WHERE rnk <= 2""".stripMargin.replace("\n", " "),
+
+    "q10_pages_extract" ->
+      s"WITH $entsCte SELECT url, ent_idx, lonm, latm, lang FROM ents",
+
+    "q11_text_passthrough" ->
+      s"WITH $entsCte, $polysCte SELECT DISTINCT e.url, e.text FROM ents e JOIN polys p ON $pipPred",
+
+    "q12_cell_assign" ->
+      s"""WITH $entsCte SELECT url, ent_idx, cx, cy,
+         | 1729382256910270464 + cx * 536870912 + cy AS cell_id
+         | FROM (SELECT url, ent_idx, ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s"""
+        .stripMargin.replace("\n", " "),
+
+    "q13_pip_join" ->
+      s"WITH $entsCte, $polysCte SELECT e.url, e.ent_idx, p.poly_id FROM ents e JOIN polys p ON $pipPred",
+
+    "q14_pip_join_salted" ->
+      s"WITH $entsCte, $polysCte SELECT e.url, e.ent_idx, p.poly_id FROM ents e JOIN polys p ON $pipPred",
+
+    "q15_knn" ->
+      s"""WITH $entsCte, $poisCte,
+         | d AS (SELECT e.url, e.ent_idx, p.poi_id,
+         |   ($eLon - p.px) * ($eLon - p.px) + ($eLat - p.py) * ($eLat - p.py) AS d2
+         |   FROM ents e CROSS JOIN pois p)
+         | SELECT url, ent_idx, rnk AS knn_rank, poi_id FROM (
+         |   SELECT url, ent_idx, poi_id, row_number() OVER (PARTITION BY url, ent_idx ORDER BY d2, poi_id) AS rnk
+         |   FROM d) WHERE rnk <= ${Pipeline.K}""".stripMargin.replace("\n", " "),
+
+    "q16_tiles" ->
+      s"""WITH $entsCte SELECT url, ent_idx, CAST(${Pipeline.TileZ} AS BIGINT) AS tile_z,
+         | ${TileAssign.tileXSql(eLon, Pipeline.TileZ)} AS tile_x,
+         | ${TileAssign.tileYSql(eLat, Pipeline.TileZ)} AS tile_y FROM ents e""".stripMargin.replace("\n", " "),
+
+    "q17_cell_counts" ->
+      s"""WITH $entsCte SELECT cx, cy, count(*) AS n FROM
+         | (SELECT ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s GROUP BY cx, cy"""
+        .stripMargin.replace("\n", " "),
+
+    "q18_osm_ways" -> {
+      s"""WITH refs AS ${OsmElements.wayRefsSql}, nodes AS ${OsmElements.nodesSql},
+         | resolved AS (SELECT r.way_id, count(*) AS npts FROM refs r JOIN nodes n ON r.ref = n.node_id GROUP BY r.way_id),
+         | cls AS (SELECT way_id,
+         |   max(CASE WHEN i = 0 THEN ref END) AS first_ref,
+         |   max(CASE WHEN i = 3 + way_id % 5 THEN ref END) AS last_ref FROM refs GROUP BY way_id)
+         | SELECT r.way_id, CASE WHEN c.first_ref = c.last_ref THEN 'Polygon' ELSE 'LineString' END AS kind, r.npts
+         | FROM resolved r JOIN cls c USING (way_id)""".stripMargin.replace("\n", " ")
+    },
+
+    "q20_dedup_exact" ->
+      s"""WITH corpus AS ${Dedup.corpusSql}
+         | SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+         | FROM corpus GROUP BY md5(text)""".stripMargin.replace("\n", " "),
+
+    "q21_minhash_lsh" -> {
+      val mins = (0 until Dedup.NumHashes).map(i =>
+        s"min((tid * ${Dedup.HashA(i)} + ${Dedup.HashB(i)}) % ${Dedup.P}) AS m$i").mkString(", ")
+      val bands = (0 until Dedup.Bands).map { b =>
+        val key = (0 until Dedup.RowsPerBand).map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT $b AS band, $key AS bkey, doc_id FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH $corpusShCte,
+         | sigs AS (SELECT doc_id, $mins FROM tt GROUP BY doc_id),
+         | buckets AS ($bands)
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM buckets a
+         | JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "q22_simhash" -> {
+      val sums = (0 until Dedup.Planes).map(j =>
+        s"sum((((tid * ${Dedup.PlaneA(j)} + ${Dedup.PlaneB(j)}) % ${Dedup.P}) % 2) * 2 - 1) AS s$j").mkString(", ")
+      val bits = (0 until Dedup.Planes).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $corpusToksCte, sigs AS (SELECT doc_id, $sums FROM tt GROUP BY doc_id)
+         | SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sigs""".stripMargin.replace("\n", " ")
+    },
+
+    "q23_jaccard_pairs" ->
+      s"""WITH corpus AS ${Dedup.corpusSql},
+         | tokarr AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a FROM corpus),
+         | sh AS (SELECT DISTINCT doc_id, sh FROM
+         |   (SELECT doc_id, array_to_string(a[i+1:i+3], ' ') AS sh FROM
+         |     (SELECT doc_id, a, unnest(range(len(a) - 2)) AS i FROM tokarr WHERE len(a) >= 3) x) y),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         | SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb FROM inter
+         | JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         | WHERE inter * 2 >= sa.nsh + sb.nsh - inter""".stripMargin.replace("\n", " "),
+
+    "q24_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(list_max(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS BIGINT) AS max_tok_len,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS n_the
+        | FROM documents""".stripMargin.replace("\n", " "),
+
+    "q25_lang_id" -> {
+      def score(ms: Seq[String]) =
+        s"CAST(len(list_filter(string_split(text, ' '), t -> ${ms.map(m => s"t = '$m'").mkString(" OR ")})) AS BIGINT)"
+      s"""SELECT doc_id, s_en, s_de, s_es,
+         | CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+         | FROM (SELECT doc_id, ${score(TextStats.MarkersEn)} AS s_en, ${score(TextStats.MarkersDe)} AS s_de,
+         |   ${score(TextStats.MarkersEs)} AS s_es FROM documents) t""".stripMargin.replace("\n", " ")
+    },
+
+    "q27_ann_topk" ->
+      s"""WITH $quantElsCte,
+         | dots AS (SELECT a.vec_id AS query_id, b.vec_id AS nn_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+         |   FROM els a JOIN els b ON a.i = b.i AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id GROUP BY 1, 2)
+         | SELECT query_id, rnk AS rank, nn_id, dot FROM (
+         |   SELECT query_id, nn_id, dot, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nn_id) AS rnk
+         |   FROM dots) WHERE rnk <= 5""".stripMargin.replace("\n", " "),
+
+    "q28_lsh_neardup" ->
+      s"""WITH $quantElsCorpusCte,
+         | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr
+         |   FROM els e CROSS JOIN (SELECT unnest(range(${Ann.NumPlanes})) AS j) p GROUP BY 1, 2),
+         | buckets AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |   FROM proj GROUP BY vec_id),
+         | norms AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm FROM els GROUP BY vec_id),
+         | pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM buckets a
+         |   JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         | pdot AS (SELECT p.va, p.vb, CAST(sum(ea.x * eb.x) AS BIGINT) AS dot FROM pairs p
+         |   JOIN els ea ON ea.vec_id = p.va JOIN els eb ON eb.vec_id = p.vb AND eb.i = ea.i GROUP BY 1, 2)
+         | SELECT va AS vec_a, vb AS vec_b, dot FROM pdot
+         | JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+         | WHERE dot > 0 AND dot * dot * 4 >= na.nrm * nb.nrm""".stripMargin.replace("\n", " ")
+  )
+}

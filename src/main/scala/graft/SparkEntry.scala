@@ -1,13 +1,118 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.{Layers, OsmElements, WebPagesSynth}
+import graft.ops._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * with DuckDB oracle SQL in [[Oracles]] for every SQL-expressible one.
+  * All oracle-compared output columns are BIGINT/VARCHAR (never float), and
+  * every numeric derivation is the same IEEE op sequence on both engines —
+  * see WebPagesSynth/Layers/Oracles for the shared formula definitions.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full spatial pipeline (extract -> PIP -> kNN -> tiles) on
+    * sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.run(spark, "/root/testdata/sf0.001")
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def ents(s: SparkSession, dir: String): DataFrame = Pipeline.entities(s, dir)
+
+  private def cellX(lon: Column): Column =
+    greatest(lit(0L), least(lit(63L), floor((lon + 180.0) / 360.0 * 64.0).cast("long")))
+  private def cellY(lat: Column): Column =
+    greatest(lit(0L), least(lit(63L), floor((lat + 90.0) / 180.0 * 64.0).cast("long")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- engine sanity (classic relational) ---
+    "q01_lineitem_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        count(lit(1)).as("n"),
+        min("l_orderkey").cast("long").as("min_ok"),
+        max("l_orderkey").cast("long").as("max_ok"))),
+
+    "q02_join_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"), col("o_orderkey"))
+    }),
+
+    "q03_window_events" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events").withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+        .select(col("user_id"), col("rnk").cast("long").as("rnk"), col("event_id"))
+    }),
+
+    // --- spatial pipeline (north rule) ---
+    "q10_pages_extract" -> ((s, dir) =>
+      ents(s, dir).select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+        col("lonm"), col("latm"), col("lang"))),
+
+    "q11_text_passthrough" -> ((s, dir) =>
+      PipJoin.broadcastJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.CellLevel)
+        .select("url", "text").distinct()),
+
+    "q12_cell_assign" -> ((s, dir) =>
+      ents(s, dir).select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+          cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
+        .withColumn("cell_id", lit(6L << 58) + col("cx") * lit(1L << 29) + col("cy"))),
+
+    "q13_pip_join" -> ((s, dir) =>
+      PipJoin.broadcastJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.CellLevel)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
+
+    "q14_pip_join_salted" -> ((s, dir) =>
+      PipJoin.shuffleJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.CellLevel)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
+
+    "q15_knn" -> ((s, dir) =>
+      KnnJoin.broadcastKnn(s, ents(s, dir), Layers.pois(s, dir), Pipeline.K, Pipeline.CellLevel)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+          col("knn_rank").cast("long").as("knn_rank"), col("poi_id"))),
+
+    "q16_tiles" -> ((s, dir) =>
+      TileAssign.assign(ents(s, dir), Pipeline.TileZ)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+          col("tile_z").cast("long").as("tile_z"), col("tile_x"), col("tile_y"))),
+
+    "q17_cell_counts" -> ((s, dir) =>
+      ents(s, dir).select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))),
+
+    "q18_osm_ways" -> ((s, dir) =>
+      OsmWayAssembly.assemble(s, OsmElements.nodes(s, dir), OsmElements.ways(s, dir))
+        .select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"))),
+
+    // --- dedup / text suite ---
+    "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.corpus(s, dir))),
+    "q21_minhash_lsh" -> ((s, dir) => Dedup.minhashPairs(Dedup.corpus(s, dir))),
+    "q22_simhash" -> ((s, dir) => Dedup.simhash(Dedup.corpus(s, dir))),
+    "q23_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Dedup.corpus(s, dir))),
+    "q24_text_stats" -> ((s, dir) => TextStats.stats(t(s, dir, "documents"))),
+    "q25_lang_id" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
+    "q26_fingerprint" -> ((s, dir) => TextStats.fingerprints(t(s, dir, "documents"))),
+
+    // --- similarity search ---
+    "q27_ann_topk" -> ((s, dir) =>
+      Ann.topK(t(s, dir, "embeddings"), k = 5, qmod = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("dot"))),
+    "q28_lsh_neardup" -> ((s, dir) => Ann.lshNearDup(t(s, dir, "embeddings"))),
+    "q29_cosine_topk" -> ((s, dir) => Ann.cosineTopK(t(s, dir, "embeddings"), k = 5, qmod = 20)),
+    "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
+  )
+
+  /** DuckDB-runnable SQL for each query above; q26/q29/q30 intentionally
+    * omitted (hash-/float-order-dependent => rows-only check). */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Exactness strategy: vectors are quantized to integers
+  * (`round(x*1000)` — unit-norm input, so products fit comfortably in
+  * int64) and similarity = integer dot product. Integer sums are
+  * order-independent, so Spark and the DuckDB oracle agree exactly, and
+  * cosine thresholds become exact cross-multiplied integer predicates
+  * (4*dot_ab^2 >= dot_aa*dot_bb  <=>  |cos| >= 0.5). A float-cosine
+  * variant exists for production use ([[cosineTopK]], rows-only checked).
+  *
+  * Scale paths: brute-force is the correctness baseline (broadcast the
+  * query side); [[lshNearDup]] buckets by random-hyperplane signs
+  * (deterministic {-1,0,1} planes, integer dots) so the candidate join is
+  *  an equi-join on bucket — the 100 TB shape.
+  */
+object Ann {
+
+  val Quant = 1000.0
+
+  /** Near-dup test corpus with planted exact duplicates (vec_id % 5 == 0
+    * mirrored at vec_id + 1000000) — random unit vectors almost never reach
+    * cos 0.5, so without planting, near-dup output would be vacuous. */
+  def corpus(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+  val corpusSql =
+    "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)"
+
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
+
+  val quantSqlExpr = "[CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) FOR x IN embedding]"
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact top-k by integer dot (desc, id asc), query side = vec_id % qmod == 0,
+    * self excluded. Output (query_id, rank, nn_id, dot). */
+  def topK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val cands = q.select(col("vec_id").as("nn_id"), col("q").as("cq"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("nn_id").asc)
+    broadcast(queries).join(cands, col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dotCol(col("qq"), col("cq")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "dot")
+  }
+
+  // Random-hyperplane LSH: plane j weight for dim i is wji in {-1,0,1},
+  // wji = ((i+1)*(j+3) mod 3) - 1 — deterministic, integer, oracle-friendly.
+  val NumPlanes = 8
+
+  private def planeSign(q: Column, j: Int): Column = {
+    val proj = aggregate(
+      zip_with(q, sequence(lit(1), size(q)), (x, i) => x * ((i * (j + 3)) % 3 - 1)),
+      lit(0L), (acc, v) => acc + v)
+    when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+  }
+
+  def withBucket(quant: DataFrame): DataFrame =
+    quant.withColumn("bucket", (0 until NumPlanes).map(j => planeSign(col("q"), j)).reduce(_ + _))
+
+  /** LSH-bucketed near-dup pairs: same bucket AND cos >= 0.5 (exact integer
+    * predicate). Output (vec_a, vec_b, dot). */
+  def lshNearDup(embeddings: DataFrame): DataFrame = {
+    val qb = withBucket(quantized(corpus(embeddings)))
+    val norms = qb.select(col("vec_id"), dotCol(col("q"), col("q")).as("nrm"), col("bucket"), col("q"))
+    val a = norms.as("a"); val b = norms.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dotCol(col("a.q"), col("b.q")).as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .filter(col("dot") > 0 && col("dot") * col("dot") * 4 >= col("na") * col("nb"))
+      .select("vec_a", "vec_b", "dot")
+  }
+
+  /** Production float-cosine top-k (order-dependent float sums — checked
+    * rows-only, unit-tested for sanity, not DuckDB-hash-compared). */
+  def cosineTopK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = n.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cands = n.select(col("vec_id").as("nn_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)
+    broadcast(queries).join(cands, col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication suite over the `documents` table: exact
+  * (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket join),
+  * SimHash, and n-gram Jaccard. All are shuffle-on-key group-bys/joins
+  * with map-side partial aggregation — the 100 TB shape: no driver
+  * collection, no cross joins; candidate generation is always via an
+  * equi-join on a bucket/shingle key.
+  *
+  * Two token-id schemes:
+  *  - oracle-parity: token id = rank of token in the sorted distinct vocab
+  *    (expressible in DuckDB SQL, exact integer arithmetic end-to-end);
+  *  - production: `xxhash64(token)` (no global dictionary; the scale path —
+  *    [[minhashPairsProd]] exercises it, rows-only checked).
+  */
+object Dedup {
+
+  /** Corpus with planted exact duplicates: every doc_id % 3 == 0 document
+    * is mirrored at doc_id + 1000000 (documents themselves are unique). */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+  val corpusSql =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)"
+
+  /** Exact dedup: one row per distinct text; keep lowest doc_id. */
+  def exact(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, tok) — whitespace tokens, empties dropped, duplicates kept. */
+  def tokens(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+
+  val tokensSqlFrom = // FROM-clause body over a corpus relation `c`
+    "SELECT c.doc_id, unnest(list_filter(string_split(c.text, ' '), t -> t <> '')) AS tok FROM"
+
+  /** Oracle-parity vocab: tok -> dense 1-based rank in sorted order.
+    * (Window over one partition — fine for a vocab, which is tiny compared
+    * to the corpus; production path avoids it via xxhash64.) */
+  def vocab(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokens.select("tok").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+  }
+
+  // MinHash parameters: H hashes in B bands of R rows; h_i(t) = (A_i*t + B_i) mod P
+  val P = 2147483647L
+  val HashA: Array[Long] = Array(363, 2971, 7823, 9241, 12007, 17389, 23531, 29443, 31151, 37199, 41999, 48871)
+  val HashB: Array[Long] = Array(98, 1013, 4391, 6779, 10009, 14411, 20201, 26393, 30011, 35117, 40009, 45613)
+  val NumHashes = 12
+  val Bands = 3
+  val RowsPerBand = 4
+
+  private def minhashSig(tokenIds: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min((col("tid") * HashA(i) + HashB(i)) % P).as(s"m$i"))
+    tokenIds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private def bandPairs(sigs: DataFrame): DataFrame = {
+    val bandDfs = (0 until Bands).map { b =>
+      val key = concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string")): _*)
+      sigs.select(lit(b).as("band"), key.as("bkey"), col("doc_id"))
+    }
+    val buckets = bandDfs.reduce(_ unionAll _)
+    val a = buckets.as("a"); val bb = buckets.as("b")
+    a.join(bb, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+      && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  }
+
+  /** (doc_id, sh) — distinct word 3-shingles. Shingling (not unigrams) is
+    * what makes MinHash discriminative: the synthetic corpus has a ~31-word
+    * vocab, so unigram signatures would collide for nearly every pair. */
+  def shingled(corpus: DataFrame): DataFrame = {
+    val arr = filter(split(col("text"), " "), t => t =!= "")
+    // guard: Spark sequence(0, n) is DESCENDING for n < 0 — short docs get no shingles
+    val shingles = when(size(arr) >= 3,
+      transform(sequence(lit(0), size(arr) - 3), i => concat_ws(" ", slice(arr, i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    corpus.select(col("doc_id"), explode(shingles).as("sh")).distinct()
+  }
+
+  /** Oracle-parity shingle ids: sh -> dense 1-based rank in sorted order. */
+  def shVocab(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh.select("sh").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("sh")).cast("long"))
+  }
+
+  /** MinHash-LSH candidate pairs over 3-shingles, oracle-parity ids. */
+  def minhashPairs(corpus: DataFrame): DataFrame = {
+    val sh = shingled(corpus)
+    bandPairs(minhashSig(sh.join(shVocab(sh), "sh").select("doc_id", "tid")))
+  }
+
+  /** Production variant: shingle id = xxhash64(sh) mod P, no global
+    * dictionary — the 100 TB path (rows-only checked). */
+  def minhashPairsProd(corpus: DataFrame): DataFrame = {
+    val sh = shingled(corpus)
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("tid"))
+    bandPairs(minhashSig(sh))
+  }
+
+  // SimHash: 16 planes; plane j sign = sum over distinct tokens of
+  // (((tid*PA_j + PB_j) mod P) mod 2)*2 - 1; bit = 1 iff sum > 0.
+  val Planes = 16
+  val PlaneA: Array[Long] = Array.tabulate(Planes)(j => 1009L + 311L * j)
+  val PlaneB: Array[Long] = Array.tabulate(Planes)(j => 173L + 97L * j)
+
+  def simhash(corpus: DataFrame): DataFrame = {
+    val toks = tokens(corpus).distinct()
+    val withTid = toks.join(vocab(toks), "tok").select("doc_id", "tid")
+    val sums = (0 until Planes).map(j =>
+      sum((((col("tid") * PlaneA(j) + PlaneB(j)) % P) % 2) * 2 - 1).as(s"s$j"))
+    val agg = withTid.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val bits = (0 until Planes).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    agg.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Word 3-shingle Jaccard near-dup pairs: candidates share >= 1 shingle;
+    * kept iff Jaccard >= 0.5, tested as exact integers (2*inter >= union). */
+  def jaccardPairs(corpus: DataFrame): DataFrame = {
+    val shs = shingled(corpus)
+    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = shs.as("a"); val b = shs.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select("doc_a", "doc_b", "inter", "na", "nb")
+  }
+}

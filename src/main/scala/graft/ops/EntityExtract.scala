@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Web-page geo-entity extraction (north-rule operator, SURVEY.md §2b):
+  * each page row yields 0..n entity points parsed from `GEO(<lonm>;<latm>)`
+  * mentions in `text`. Deterministic, pure native-function plan (regex +
+  * posexplode — whole-stage codegen, no UDF), and `text` is carried through
+  * UNCHANGED (projection only) to preserve the byte-identical-text-per-url
+  * invariant the north rule demands.
+  *
+  * Generalizes the reference's per-feature geometry decode
+  * (`/root/reference/src/format/geojson.rs:141-158`) from files to
+  * 10^12-row page tables.
+  */
+object EntityExtract {
+
+  /** pages(url, warc_ts, html, text, lang) ->
+    * (url, ent_idx int, lonm, latm long, lon, lat double, text, lang).
+    * Marker order in text defines ent_idx. */
+  def entities(pages: DataFrame): DataFrame = {
+    pages
+      .select(col("url"), col("text"), col("lang"),
+        posexplode(regexp_extract_all(col("text"), lit("GEO\\(([0-9]+);([0-9]+)\\)"), lit(0)))
+          .as(Seq("ent_idx", "mention")))
+      .withColumn("lonm", regexp_extract(col("mention"), "GEO\\(([0-9]+);", 1).cast("long"))
+      .withColumn("latm", regexp_extract(col("mention"), ";([0-9]+)\\)", 1).cast("long"))
+      .withColumn("lon", col("lonm") / 20.0 - 180.0)
+      .withColumn("lat", col("latm") / 20.0 - 70.0)
+      .drop("mention")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.WkbCodec
+
+/** OSM node<->way resolution — the reference's one real dataflow join (J1,
+  * `/root/reference/src/format/osmpbf.rs:53-88`), re-expressed Spark-first:
+  *
+  *   ways --posexplode(refs)--> (way_id, pos, ref)
+  *        --inner join broadcast(nodes) on ref = node_id   (missing refs
+  *          silently dropped, exactly the reference's HashMap-probe miss)
+  *        --groupBy(way_id) + sort_array(collect_list(struct(pos,lon,lat)))
+  *          (ref order preserved -> vertex order)
+  *        --geometry build: closed (first raw ref == last raw ref, F1
+  *          osmpbf.rs:96-100) -> Polygon (no holes), else LineString.
+  *
+  * The node side is the natural broadcast dim (the reference holds ALL
+  * nodes in one HashMap — osmpbf.rs:19-51); for planet-scale node sets the
+  * same plan minus the broadcast hint degrades gracefully to a sort-merge
+  * join, with AQE skew handling.
+  *
+  * Geometry rules (nullable `geom`): LineString needs >= 2 resolved points,
+  * Polygon ring >= 4 points after auto-close; under-resolved ways keep
+  * their row with geom = null (the row set — 4,944 for the monaco fixture —
+  * is defined by the join, not by geometry validity).
+  */
+object OsmWayAssembly {
+
+  def assemble(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
+               broadcastNodes: Boolean = true): DataFrame = {
+    val refd = ways.select(col("way_id"), col("tags"),
+      element_at(col("refs"), 1).as("first_ref"),
+      element_at(col("refs"), -1).as("last_ref"),
+      posexplode(col("refs")).as(Seq("pos", "ref")))
+    val n = nodes.select(col("node_id"), col("lon"), col("lat"))
+    val joined = refd.join(
+      if (broadcastNodes) broadcast(n) else n,
+      refd("ref") === n("node_id"), "inner")
+    val grouped = joined.groupBy("way_id")
+      .agg(
+        first(col("tags")).as("tags"),
+        first(col("first_ref") === col("last_ref")).as("closed"),
+        sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("pts"))
+
+    val buildGeom = udf((closed: Boolean, pts: Seq[org.apache.spark.sql.Row]) => {
+      val coords = pts.map(r => (r.getDouble(1), r.getDouble(2)))
+      if (closed) {
+        val ring = if (coords.nonEmpty && coords.head != coords.last) coords :+ coords.head else coords
+        if (ring.length >= 4) WkbCodec.write(WkbCodec.polygon(coords)) else null
+      } else {
+        if (coords.length >= 2) WkbCodec.write(WkbCodec.lineString(coords)) else null
+      }
+    })
+
+    grouped.select(
+      col("way_id"),
+      col("tags"),
+      when(col("closed"), "Polygon").otherwise("LineString").as("kind"),
+      size(col("pts")).as("npts"),
+      buildGeom(col("closed"), col("pts")).as("geom"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Point
+import graft.geom.WkbCodec
+import graft.index.{CellGrid, CoverIndex}
+
+/** Point-in-polygon join (north-rule operator, SURVEY.md §2b).
+  *
+  * Two physical strategies, chosen by the polygon side's size:
+  *
+  *  - [[broadcastJoin]] (default): the polygon layer is collected to a
+  *    [[CoverIndex]] and broadcast; points stream through ONE narrow map
+  *    (cell probe -> prepared-geometry refine -> explode matches). Zero
+  *    shuffle — skewed point cells cost nothing because nothing is
+  *    repartitioned by cell. This is the right plan whenever the polygon
+  *    layer is a dim table (admin boundaries, etc.), which is the common
+  *    100 TB case: 10^12 points x 10^5 polygons.
+  *
+  *  - [[shuffleJoin]]: for polygon layers too big to broadcast. Polygons
+  *    explode to (cell, poly) cover rows, points shuffle on their cell,
+  *    equi-join on cell, exact JTS refine after. Hot cells (dense urban
+  *    polygons) are salted: cover rows for hot cells are replicated
+  *    `saltFactor` ways and points pick a deterministic salt, so one hot
+  *    cell spreads over `saltFactor` reducers. AQE skew-join remains on as
+  *    backstop.
+  *
+  * Both return the point rows + `poly_id`, text columns untouched.
+  */
+object PipJoin {
+
+  /** points must carry (lon, lat) double columns; polygons (poly_id, geom WKB). */
+  def broadcastJoin(spark: SparkSession, points: DataFrame, polygons: DataFrame,
+                    level: Int = 6): DataFrame = {
+    val collected = polygons.select("poly_id", "geom").collect()
+    val idx = CoverIndex.build(
+      collected.map(_.getLong(0)), collected.map(_.getAs[Array[Byte]](1)), level)
+    val bc = spark.sparkContext.broadcast(idx)
+    val containing = udf((lon: Double, lat: Double) => bc.value.containing(lon, lat))
+    points
+      .withColumn("poly_id", explode(containing(col("lon"), col("lat"))))
+  }
+
+  /** Shuffle variant with explicit salting of hot cells.
+    * @param hotCells packed (cx<<32|cy) keys to salt; pass result of
+    *                 [[hotCellsOf]] or a pre-known list.
+    */
+  def shuffleJoin(spark: SparkSession, points: DataFrame, polygons: DataFrame,
+                  level: Int = 6, saltFactor: Int = 8,
+                  hotCells: Option[Seq[Long]] = None): DataFrame = {
+    import spark.implicits._
+    val coverUdf = udf((wkb: Array[Byte]) =>
+      CoverIndex.coverCells(WkbCodec.read(wkb), level).map { case (x, y) => (x << 32) | y })
+    val cover = polygons
+      .withColumn("cell", explode(coverUdf(col("geom"))))
+      .select(col("cell"), col("poly_id"), col("geom"))
+
+    val pts = points.withColumn("cell",
+      pointCellKey(col("lon"), col("lat"), level))
+
+    val hot = hotCells.getOrElse(hotCellsOf(pts, threshold = 4 * avgCellCount(pts)))
+    val hotDf = hot.toDF("hot_cell")
+
+    // polygon side: replicate hot-cell cover rows saltFactor ways
+    val saltedCover = cover
+      .join(broadcast(hotDf), cover("cell") === hotDf("hot_cell"), "left")
+      .withColumn("salts",
+        when(col("hot_cell").isNotNull, sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(sequence(lit(0), lit(0))))
+      .withColumn("salt", explode(col("salts")))
+      .drop("salts", "hot_cell")
+
+    // point side: deterministic salt within [0, saltFactor)
+    val saltedPts = pts
+      .join(broadcast(hotDf), pts("cell") === hotDf("hot_cell"), "left")
+      .withColumn("salt",
+        when(col("hot_cell").isNotNull, pmod(hash(col("url"), col("ent_idx")), lit(saltFactor)))
+          .otherwise(lit(0)))
+      .drop("hot_cell")
+
+    val refine = udf((wkb: Array[Byte], lon: Double, lat: Double) =>
+      WkbCodec.read(wkb).contains(WkbCodec.point(lon, lat)))
+
+    saltedPts.join(saltedCover, Seq("cell", "salt"))
+      .filter(refine(col("geom"), col("lon"), col("lat")))
+      .drop("cell", "salt", "geom", "cx", "cy", "r")
+  }
+
+  def pointCellKey(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column,
+                   level: Int): org.apache.spark.sql.Column = {
+    val n = (1L << level).toDouble
+    val cx = greatest(lit(0L), least(lit((1L << level) - 1),
+      floor((lon + 180.0) / 360.0 * n).cast("long")))
+    val cy = greatest(lit(0L), least(lit((1L << level) - 1),
+      floor((lat + 90.0) / 180.0 * n).cast("long")))
+    shiftleft(cx, 32) + cy
+  }
+
+  /** Frequency sketch: cells whose point count exceeds `threshold`. Small
+    * aggregate (one pass, partial agg) collected to the driver. */
+  def hotCellsOf(pts: DataFrame, threshold: Double): Seq[Long] =
+    pts.groupBy("cell").count().filter(col("count") > threshold)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+
+  private def avgCellCount(pts: DataFrame): Double = {
+    val r = pts.groupBy("cell").count().agg(avg("count")).collect()(0)
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * quality stats, n-gram-heuristic language ID, token counting, and a
+  * rolling-hash document fingerprint (winnowing). Everything is a
+  * native-function column plan (codegen) except the fingerprint UDF.
+  * Comparison-relevant outputs are integers/strings only, so the DuckDB
+  * oracle agrees bit-for-bit.
+  */
+object TextStats {
+
+  private def toks = filter(split(col("text"), " "), t => t =!= "")
+
+  /** (doc_id, n_tokens, n_distinct, n_chars, max_tok_len, n_the) */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars"),
+      array_max(transform(toks, t => length(t))).cast("long").as("max_tok_len"),
+      size(filter(toks, t => t === "the")).cast("long").as("n_the"))
+
+  /** Marker-token language ID: score per "language" = count of its marker
+    * tokens; argmax with fixed precedence en > de > es. (A real n-gram
+    * model would plug into the same shape; the synthetic corpus has a
+    * 31-word vocab, so markers are drawn from it.) */
+  val MarkersEn = Seq("the", "data", "fast")
+  val MarkersDe = Seq("table", "scan", "merge")
+  val MarkersEs = Seq("spark", "query", "stream")
+
+  def langId(docs: DataFrame): DataFrame = {
+    def score(ms: Seq[String]) =
+      size(filter(toks, t => ms.map(m => t === m).reduce(_ || _))).cast("long")
+    docs.select(col("doc_id"),
+        score(MarkersEn).as("s_en"), score(MarkersDe).as("s_de"), score(MarkersEs).as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de").otherwise("es"))
+  }
+
+  /** Winnowing fingerprints: polynomial rolling hash over token windows of
+    * `w`, keep the minimum hash of every `g`-window band (robust, order-
+    * sensitive near-dup fingerprint). Rows-only checked (not SQL-friendly);
+    * exact semantics unit-tested. */
+  def fingerprints(docs: DataFrame, w: Int = 4, g: Int = 4): DataFrame = {
+    val fpUdf = udf((text: String) => {
+      val ts = text.split(" ").filter(_.nonEmpty)
+      if (ts.length < w) Array.empty[Long]
+      else {
+        val B = 1000003L; val M = (1L << 61) - 1
+        val th = ts.map(t => t.foldLeft(0L)((a, c) => (a * 131 + c) & 0x7fffffffffffffL))
+        val windows = th.sliding(w).map(_.foldLeft(0L)((a, h) => ((a * B) % M + h) % M)).toArray
+        windows.sliding(g, g).map(_.min).toArray.distinct
+      }
+    })
+    docs.select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.WkbCodec
+
+/** Deterministic vector layers derived from the read-only TPC-H-ish dim
+  * tables: an admin-like polygon layer (diamonds, incl. overlapping dense
+  * "urban" polygons over the hot square for skew tests) and a POI point
+  * layer for kNN. Centers sit on the half-integer lattice and radii on the
+  * quarter-of-a-grid-step lattice so synthetic points (0.05-degree grid)
+  * are never within 0.025 degrees of a polygon boundary — float rounding
+  * can therefore never flip a containment verdict between JTS (Spark side)
+  * and closed-form arithmetic (DuckDB oracle side).
+  */
+object Layers {
+
+  // ---- polygon layer (from `part`): diamond |x-cx|+|y-cy| <= r ----
+  def polyIsUrban(p: Column): Column = p % 10 === 0
+  def polyCx(p: Column): Column = when(polyIsUrban(p), 20.5).otherwise(((p * 131) % 360) - lit(179.5))
+  def polyCy(p: Column): Column = when(polyIsUrban(p), 0.5).otherwise(((p * 37) % 140) - lit(69.5))
+  def polyR(p: Column): Column = when(polyIsUrban(p), 0.975).otherwise(lit(0.375) + (p % 3) * 0.05)
+
+  val polyIsUrbanSql = "(p_partkey % 10 = 0)"
+  val polyCxSql = s"(CASE WHEN $polyIsUrbanSql THEN 20.5 ELSE ((p_partkey * 131) % 360) - 179.5 END)"
+  val polyCySql = s"(CASE WHEN $polyIsUrbanSql THEN 0.5 ELSE ((p_partkey * 37) % 140) - 69.5 END)"
+  val polyRSql = s"(CASE WHEN $polyIsUrbanSql THEN 0.975 ELSE 0.375 + (p_partkey % 3) * 0.05 END)"
+
+  /** (poly_id long, cx, cy, r double, geom binary WKB) — the geom column is
+    * real JTS-built WKB; downstream spatial ops consume only the WKB. */
+  def polygons(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+    val pk = col("p_partkey")
+    val mkDiamond = udf((cx: Double, cy: Double, r: Double) =>
+      WkbCodec.write(WkbCodec.diamond(cx, cy, r)))
+    p.select(pk.as("poly_id"), polyCx(pk).as("cx"), polyCy(pk).as("cy"), polyR(pk).as("r"))
+      .withColumn("geom", mkDiamond(col("cx"), col("cy"), col("r")))
+  }
+
+  // ---- POI layer (from `supplier`) ----
+  def poiX(s: Column): Column = ((s * 211) % 7200) / 20.0 - 180.0
+  def poiY(s: Column): Column = ((s * 89) % 2800) / 20.0 - 70.0
+  val poiXSql = "(((s_suppkey * 211) % 7200) / 20.0 - 180.0)"
+  val poiYSql = "(((s_suppkey * 89) % 2800) / 20.0 - 70.0)"
+
+  /** (poi_id long, px, py double, geom binary WKB point). */
+  def pois(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val sk = col("s_suppkey")
+    val mkPoint = udf((x: Double, y: Double) => WkbCodec.write(WkbCodec.point(x, y)))
+    s.select(sk.as("poi_id"), poiX(sk).as("px"), poiY(sk).as("py"))
+      .withColumn("geom", mkPoint(col("px"), col("py")))
+  }
+}
