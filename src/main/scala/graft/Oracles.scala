@@ -148,7 +148,7 @@ object Oracles {
 
     "q22_simhash" -> {
       val sums = (0 until Dedup.Planes).map(j =>
-        s"sum((((tid * ${Dedup.PlaneA(j)} + ${Dedup.PlaneB(j)}) % ${Dedup.P}) % 2) * 2 - 1) AS s$j").mkString(", ")
+        s"sum(CASE WHEN (tid * ${Dedup.PlaneA(j)} + ${Dedup.PlaneB(j)}) % ${Dedup.P} < ${Dedup.HalfP} THEN 1 ELSE -1 END) AS s$j").mkString(", ")
       val bits = (0 until Dedup.Planes).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""WITH $corpusToksCte, sigs AS (SELECT doc_id, $sums FROM tt GROUP BY doc_id)

@@ -51,10 +51,12 @@ object Dedup {
       .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
   }
 
-  // MinHash parameters: H hashes in B bands of R rows; h_i(t) = (A_i*t + B_i) mod P
+  // MinHash parameters: H hashes in B bands of R rows; h_i(t) = (A_i*t + B_i) mod P.
+  // Multipliers must be of order P so products wrap — with small A_i every
+  // h_i is monotone in t and all 12 signatures collapse to min(t).
   val P = 2147483647L
-  val HashA: Array[Long] = Array(363, 2971, 7823, 9241, 12007, 17389, 23531, 29443, 31151, 37199, 41999, 48871)
-  val HashB: Array[Long] = Array(98, 1013, 4391, 6779, 10009, 14411, 20201, 26393, 30011, 35117, 40009, 45613)
+  val HashA: Array[Long] = Array.tabulate(12)(i => ((i + 11) * 2654435761L) % P)
+  val HashB: Array[Long] = Array.tabulate(12)(i => ((i + 5) * 1299709L) % P)
   val NumHashes = 12
   val Bands = 3
   val RowsPerBand = 4
@@ -110,17 +112,20 @@ object Dedup {
     bandPairs(minhashSig(sh))
   }
 
-  // SimHash: 16 planes; plane j sign = sum over distinct tokens of
-  // (((tid*PA_j + PB_j) mod P) mod 2)*2 - 1; bit = 1 iff sum > 0.
+  // SimHash: 16 planes; plane j contribution of a token = +1 if
+  // (tid*PA_j + PB_j) mod P < P/2 else -1 (threshold, NOT parity: the
+  // parity of an affine function is itself affine and degenerates);
+  // bit_j = 1 iff the sum over distinct tokens > 0.
   val Planes = 16
-  val PlaneA: Array[Long] = Array.tabulate(Planes)(j => 1009L + 311L * j)
-  val PlaneB: Array[Long] = Array.tabulate(Planes)(j => 173L + 97L * j)
+  val PlaneA: Array[Long] = Array.tabulate(Planes)(j => ((j + 7) * 1234567891L) % P)
+  val PlaneB: Array[Long] = Array.tabulate(Planes)(j => ((j + 3) * 987654321L) % P)
+  val HalfP: Long = P / 2
 
   def simhash(corpus: DataFrame): DataFrame = {
     val toks = tokens(corpus).distinct()
     val withTid = toks.join(vocab(toks), "tok").select("doc_id", "tid")
     val sums = (0 until Planes).map(j =>
-      sum((((col("tid") * PlaneA(j) + PlaneB(j)) % P) % 2) * 2 - 1).as(s"s$j"))
+      sum(when((col("tid") * PlaneA(j) + PlaneB(j)) % P < HalfP, 1L).otherwise(-1L)).as(s"s$j"))
     val agg = withTid.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     val bits = (0 until Planes).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, TextStats}
+
+class DedupAnnSpec extends AnyFunSuite with SparkTest {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    import spark.implicits._
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d).as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3)).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs always pair; disjoint docs never do") {
+    import spark.implicits._
+    val base = "the fast key order sort table scan merge part window small hash"
+    val other = "customer line value big agg stream spark group query row data slow"
+    val d = docs((1L, base), (2L, base), (3L, other))
+    val pairs = Dedup.minhashPairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    val prod = Dedup.minhashPairsProd(d).as[(Long, Long)].collect().toSet
+    assert(prod === Set((1L, 2L)))
+  }
+
+  test("simhash equal for identical docs, differs for disjoint vocab") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val m = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("jaccard pairs: exact integer threshold") {
+    import spark.implicits._
+    // 1 vs 2: shingle sets differ by one trailing shingle -> J = 3/5 >= 0.5
+    val d = docs((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"))
+    val out = Dedup.jaccardPairs(d).as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    val r = out.head
+    assert(r._3 === 2 && r._4 === 3 && r._5 === 3) // inter=2 of {abc,bcd}, na=nb=3
+  }
+
+  test("ANN topK matches brute force on quantized dot") {
+    import spark.implicits._
+    val vecs = (0L to 19L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Ann.topK(df, k = 3, qmod = 10)
+      .as[(Long, Int, Long, Long)].collect().groupBy(_._1)
+    // HALF_UP like Spark's round() (math.round differs on negative halves)
+    def rnd(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val quant = vecs.map { case (i, v) => i -> v.map(x => rnd(x.toDouble * 1000.0)) }.toMap
+    for ((q, rows) <- out) {
+      val brute = quant.filter(_._1 != q).map { case (c, cv) =>
+        val dot = quant(q).zip(cv).map { case (a, b) => a * b }.sum
+        (-dot, c)
+      }.toSeq.sorted.take(3).map(_._2)
+      assert(rows.sortBy(_._2).map(_._3).toSeq === brute, s"query $q")
+    }
+  }
+
+  test("LSH near-dup finds planted duplicates with cos >= 0.5 predicate") {
+    import spark.implicits._
+    val vecs = (0L to 9L).map(i => (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
+    val out = Ann.lshNearDup(vecs.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long)].collect()
+    // planted mirrors: vec_id % 5 == 0 -> +1000000; identical vectors share bucket & cos=1
+    assert(out.map(r => (r._1, r._2)).toSet.contains((0L, 1000000L)))
+    assert(out.map(r => (r._1, r._2)).toSet.contains((5L, 1000005L)))
+  }
+
+  test("text stats and lang id on a fixed string") {
+    import spark.implicits._
+    val d = docs((7L, "the table  the scan spark")) // double space -> empty token dropped
+    val s = TextStats.stats(d).as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(s === ((7L, 5L, 4L, 25L, 5L, 2L)))
+    val l = TextStats.langId(d).select("doc_id", "pred_lang", "s_en", "s_de", "s_es")
+      .as[(Long, String, Long, Long, Long)].collect().head
+    assert(l === ((7L, "en", 2L, 2L, 1L))) // tie en/de -> en precedence
+  }
+
+  test("fingerprints deterministic and sensitive to token order") {
+    import spark.implicits._
+    val a = TextStats.fingerprints(docs((1L, "a b c d e f g h"))).as[(Long, Long)].collect().toSet
+    val b = TextStats.fingerprints(docs((1L, "a b c d e f g h"))).as[(Long, Long)].collect().toSet
+    val c = TextStats.fingerprints(docs((1L, "h g f e d c b a"))).as[(Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a !== c)
+  }
+}

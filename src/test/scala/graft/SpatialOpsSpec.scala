@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.geom.WkbCodec
+import graft.index.CoverIndex
+import graft.ops.{KnnJoin, PipJoin, PoiGrid}
+import graft.sources.Layers
+
+class SpatialOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def deterministic(i: Int, m: Int): Double = ((i * 7919) % m).toDouble / 20.0
+
+  test("CoverIndex.containing == brute-force JTS contains") {
+    val polys = (1 to 50).map { i =>
+      val cx = deterministic(i, 3600) - 90.0
+      val cy = deterministic(i * 3 + 1, 1600) - 40.0
+      (i.toLong, WkbCodec.write(WkbCodec.diamond(cx, cy, 0.3 + (i % 5) * 0.2)))
+    }
+    val idx = CoverIndex.build(polys.map(_._1).toArray, polys.map(_._2).toArray, level = 6)
+    val geoms = polys.map { case (id, wkb) => (id, WkbCodec.read(wkb)) }
+    for (j <- 0 until 500) {
+      val lon = deterministic(j + 11, 7200) - 180.0
+      val lat = deterministic(j * 13 + 5, 2800) - 70.0
+      val pt = WkbCodec.point(lon, lat)
+      val expected = geoms.filter(_._2.contains(pt)).map(_._1).sorted
+      assert(idx.containing(lon, lat).toSeq === expected, s"point ($lon,$lat)")
+    }
+  }
+
+  test("broadcast PIP join == salted shuffle PIP join == oracle arithmetic") {
+    import spark.implicits._
+    val ents = Pipeline.entities(spark, Sf)
+    val polys = Layers.polygons(spark, Sf)
+    val a = PipJoin.broadcastJoin(spark, ents, polys, 6)
+      .select("url", "ent_idx", "poly_id").as[(String, Int, Long)].collect().toSet
+    val b = PipJoin.shuffleJoin(spark, ents, polys, 6)
+      .select("url", "ent_idx", "poly_id").as[(String, Int, Long)].collect().toSet
+    assert(a === b)
+    // arithmetic oracle on the diamond definition
+    val pts = ents.select("url", "ent_idx", "lon", "lat").as[(String, Int, Double, Double)].collect()
+    val ps = polys.select("poly_id", "cx", "cy", "r").as[(Long, Double, Double, Double)].collect()
+    val expected = (for {
+      (url, k, lon, lat) <- pts
+      (pid, cx, cy, r) <- ps
+      if math.abs(lon - cx) + math.abs(lat - cy) < r
+    } yield (url, k, pid)).toSet
+    assert(a === expected)
+  }
+
+  test("PoiGrid ring-expansion kNN == brute force, all ks, incl. k > n") {
+    val n = 40
+    val ids = (1 to n).map(_.toLong).toArray
+    val xs = ids.map(i => deterministic(i.toInt * 17, 7200) - 180.0)
+    val ys = ids.map(i => deterministic(i.toInt * 29 + 3, 2800) - 70.0)
+    val grid = new PoiGrid(6, ids, xs, ys)
+    for (j <- 0 until 300; k <- Seq(1, 3, 7, 50)) {
+      val px = deterministic(j * 31 + 7, 7200) - 180.0
+      val py = deterministic(j * 37 + 1, 2800) - 70.0
+      val brute = ids.indices.map { i =>
+        val dx = px - xs(i); val dy = py - ys(i)
+        (dx * dx + dy * dy, ids(i))
+      }.sorted.take(k).map(_._2)
+      assert(grid.knn(px, py, k).toSeq === brute, s"point $j k=$k")
+    }
+  }
+
+  test("broadcastKnn DataFrame op matches PoiGrid") {
+    import spark.implicits._
+    val ents = Pipeline.entities(spark, Sf).limit(50)
+    val pois = Layers.pois(spark, Sf)
+    val out = KnnJoin.broadcastKnn(spark, ents, pois, 3, 6)
+      .select("url", "ent_idx", "knn_rank", "poi_id")
+      .as[(String, Int, Int, Long)].collect()
+    assert(out.length === 150)
+    assert(out.groupBy(r => (r._1, r._2)).forall(_._2.map(_._3).sorted.sameElements(Seq(1, 2, 3))))
+  }
+
+  test("hot cells detected and salting preserves results exactly") {
+    import spark.implicits._
+    val ents = Pipeline.entities(spark, Sf)
+    val withCell = ents.withColumn("cell", PipJoin.pointCellKey(col("lon"), col("lat"), 6))
+    val hot = PipJoin.hotCellsOf(withCell, threshold = 50)
+    // the synthetic urban square (lon 20..21, lat 0..1) must be hot
+    val urbanCell = (graft.index.CellGrid.cellX(20.5, 6) << 32) | graft.index.CellGrid.cellY(0.5, 6)
+    assert(hot.contains(urbanCell))
+  }
+}
