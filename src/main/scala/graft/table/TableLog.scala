@@ -1,0 +1,140 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot log over Parquet directories (north-rule
+  * checkpoint/lineage operator; no Iceberg jar offline, so the manifest
+  * format is our own — same commit discipline: write-temp + atomic rename,
+  * immutable snapshots, a `_current` pointer).
+  *
+  * Layout:
+  * {{{
+  *   <table>/_graft_log/v%08d.json   immutable snapshot manifests
+  *   <table>/_graft_log/_current     pointer file (atomic rename commit)
+  *   <table>/data/bucket=<name>/     one dir per logical input partition
+  * }}}
+  *
+  * A snapshot records, per committed bucket: rows written, wall millis,
+  * data path — the per-partition lineage + metrics the north rule asks
+  * for. Resume = read current snapshot, skip its committed buckets.
+  * Generalizes the reference's whole-table save modes
+  * (`/root/reference/src/pg/crud.rs:86-117`, K5/K6) to partition-grained
+  * idempotent commits.
+  */
+object TableLog {
+
+  final case class BucketMeta(path: String, rows: Long, millis: Long)
+  final case class Snapshot(
+      snapshot: Long,
+      parent: Option[Long],
+      schemaDdl: String,
+      srid: Int,
+      mode: String,
+      tsMillis: Long,
+      buckets: Map[String, BucketMeta])
+
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  private def logDir(table: String): Path = Paths.get(table, "_graft_log")
+  private def currentPtr(table: String): Path = logDir(table).resolve("_current")
+
+  def exists(table: String): Boolean = Files.exists(currentPtr(table))
+
+  def current(table: String): Option[Snapshot] =
+    if (!exists(table)) None
+    else {
+      val name = new String(Files.readAllBytes(currentPtr(table)), "UTF-8").trim
+      Some(Serialization.read[Snapshot](
+        new String(Files.readAllBytes(logDir(table).resolve(name)), "UTF-8")))
+    }
+
+  /** Atomic commit: manifest to temp file, rename into place, then pointer
+    * to temp file, ATOMIC_MOVE over `_current`. */
+  def commit(table: String, snap: Snapshot): Unit = {
+    Files.createDirectories(logDir(table))
+    val name = f"v${snap.snapshot}%08d.json"
+    val tmp = logDir(table).resolve(s".$name.tmp")
+    Files.write(tmp, Serialization.write(snap).getBytes("UTF-8"))
+    Files.move(tmp, logDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    val ptmp = logDir(table).resolve("._current.tmp")
+    Files.write(ptmp, name.getBytes("UTF-8"))
+    Files.move(ptmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def snapshots(table: String): Seq[Snapshot] =
+    if (!Files.exists(logDir(table))) Seq.empty
+    else Files.list(logDir(table)).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.json")).toSeq.sortBy(_.toString)
+      .map(p => Serialization.read[Snapshot](new String(Files.readAllBytes(p), "UTF-8")))
+
+  /** Whole-table write with reference save modes (K5 fail / K6 overwrite,
+    * + append). One bucket named "all". */
+  def write(df: DataFrame, table: String, mode: String, srid: Int = 4326): Snapshot =
+    mode match {
+      case "fail" =>
+        if (exists(table)) throw graft.GraftError.TableExists(table)
+        writeBuckets(df.sparkSession, table, "fail", srid, Seq("all" -> df), base = None)
+      case "overwrite" =>
+        writeBuckets(df.sparkSession, table, "overwrite", srid, Seq("all" -> df), base = None)
+      case "append" =>
+        val base = current(table)
+        val n = base.map(_.buckets.size).getOrElse(0)
+        writeBuckets(df.sparkSession, table, "append", srid, Seq(s"all-$n" -> df), base)
+      case m => throw graft.GraftError.InvalidMode(m)
+    }
+
+  private def writeBuckets(spark: SparkSession, table: String, mode: String, srid: Int,
+                           toWrite: Seq[(String, DataFrame)], base: Option[Snapshot]): Snapshot = {
+    var snap = base.getOrElse(Snapshot(0L, None, "", srid, mode, System.currentTimeMillis(), Map.empty))
+    toWrite.foreach { case (bucket, df) =>
+      snap = commitBucket(table, snap, bucket, df, mode, srid)
+    }
+    snap
+  }
+
+  /** Write one bucket's parquet dir and commit a new snapshot including it.
+    * Idempotent: the data dir is overwritten, then the manifest committed. */
+  def commitBucket(table: String, base: Snapshot, bucket: String, df: DataFrame,
+                   mode: String, srid: Int): Snapshot = {
+    val t0 = System.currentTimeMillis()
+    val path = s"$table/data/bucket=$bucket"
+    df.write.mode("overwrite").parquet(path)
+    val rows = df.sparkSession.read.parquet(path).count()
+    val snap = base.copy(
+      snapshot = base.snapshot + 1,
+      parent = if (base.schemaDdl.isEmpty) None else Some(base.snapshot),
+      schemaDdl = df.schema.toDDL,
+      srid = srid,
+      mode = mode,
+      tsMillis = System.currentTimeMillis(),
+      buckets = base.buckets + (bucket -> BucketMeta(path, rows, System.currentTimeMillis() - t0)))
+    commit(table, snap)
+    snap
+  }
+
+  /** Read the current snapshot's data. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val snap = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
+    spark.read.parquet(snap.buckets.values.map(_.path).toSeq: _*)
+  }
+
+  /** Checkpointed multi-bucket job: computes each logical input partition
+    * via `bucketDf` and commits it as its own snapshot; on re-run, buckets
+    * already in the current snapshot are SKIPPED (resume from checkpoint).
+    * Returns (snapshot, skipped, written). */
+  def runCheckpointed(spark: SparkSession, table: String, buckets: Seq[String],
+                      bucketDf: String => DataFrame, srid: Int = 4326): (Snapshot, Seq[String], Seq[String]) = {
+    var snap = current(table).getOrElse(
+      Snapshot(0L, None, "", srid, "checkpoint", System.currentTimeMillis(), Map.empty))
+    val (skipped, todo) = buckets.partition(snap.buckets.contains)
+    todo.foreach { b => snap = commitBucket(table, snap, b, bucketDf(b), "checkpoint", srid) }
+    (snap, skipped, todo)
+  }
+}
