@@ -194,6 +194,15 @@ object Oracles {
          |   SELECT query_id, nn_id, dot, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nn_id) AS rnk
          |   FROM dots) WHERE rnk <= 5""".stripMargin.replace("\n", " "),
 
+    "q31_media_meta" ->
+      s"""WITH pages AS (SELECT url,
+         |   '<html><head><title>' || url || '</title></head><body><p>' || pt || '</p></body></html>' AS htmlstr
+         |   FROM (SELECT ${W.urlSql} AS url, ${W.pageTextSql} AS pt FROM documents) t)
+         | SELECT url, CAST(octet_length(encode(htmlstr)) AS BIGINT) AS n_bytes,
+         |   hex(encode(left(htmlstr, 4))) AS magic,
+         |   CASE WHEN hex(encode(left(htmlstr, 4))) = '3C68746D' THEN 'html' ELSE 'unknown' END AS kind
+         | FROM pages""".stripMargin.replace("\n", " "),
+
     "q28_lsh_neardup" ->
       s"""WITH $quantElsCorpusCte,
          | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr

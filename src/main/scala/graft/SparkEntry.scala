@@ -103,6 +103,15 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
     "q26_fingerprint" -> ((s, dir) => TextStats.fingerprints(t(s, dir, "documents"))),
 
+    // --- multimodal binary columns ---
+    "q31_media_meta" -> ((s, dir) =>
+      Media.sniff(WebPagesSynth.pages(s, dir), "html")
+        .select("url", "n_bytes", "magic", "kind")),
+    "q32_media_decode" -> ((s, dir) =>
+      Media.decode(WebPagesSynth.pages(s, dir).select("url", "html"), "html")
+        .select(col("url"), col("media.width"), col("media.height"),
+          size(col("media.feature")).as("dim"))),
+
     // --- similarity search ---
     "q27_ann_topk" -> ((s, dir) =>
       Ann.topK(t(s, dir, "embeddings"), k = 5, qmod = 20)

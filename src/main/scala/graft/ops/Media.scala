@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video/html payloads are opaque
+  * `binary` columns with typed metadata. The Spark side — schema, batched
+  * per-partition execution, deterministic outputs — is real and tested;
+  * the actual media decode is a STUB (this container has no image/audio
+  * libraries): [[StubDecoder]] derives deterministic fake features from
+  * the bytes. Swap the decoder for a real one (JNI/ONNX/javacv) without
+  * touching the plumbing.
+  */
+object Media {
+
+  /** Codegen-only metadata sniff: byte length + magic-number format guess.
+    * (hex(substring(bin,1,4)) is native — no UDF in the hot path.) */
+  def sniff(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .withColumn("magic", hex(substring(col(binCol), 1, 4)))
+      .withColumn("kind",
+        when(col("magic") === "3C68746D", "html")        // "<htm"
+          .when(col("magic") === "89504E47", "png")
+          .when(col("magic").startsWith("FFD8"), "jpeg")
+          .when(col("magic") === "52494646", "riff")     // wav/avi container
+          .otherwise("unknown"))
+
+  /** Decoder contract: one batch of payloads in, one feature row each out.
+    * Mirrors the mapInPandas/Arrow batch shape: the decoder is initialized
+    * once per partition and fed fixed-size batches so a real implementation
+    * can amortize model/codec setup and use vectorized kernels. */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decodeBatch(payloads: Array[Array[Byte]]): Array[MediaFeatures]
+    def close(): Unit = ()
+  }
+
+  final case class MediaFeatures(width: Int, height: Int, channels: Int,
+                                 feature: Array[Float])
+
+  /** STUB decode: deterministic pseudo-features from a rolling byte hash —
+    * NOT a real decode (no media libs offline); exists to exercise the
+    * batching, schema, and partition plumbing end-to-end. */
+  object StubDecoder extends Decoder {
+    private def fmix(zIn: Long): Long = { // murmur3 finalizer: avalanches small deltas
+      var z = zIn
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    override def decodeBatch(payloads: Array[Array[Byte]]): Array[MediaFeatures] =
+      payloads.map { b =>
+        var h = 1125899906842597L
+        var i = 0
+        while (i < b.length) { h = 31 * h + b(i); i += 1 }
+        val dim = 8
+        val feat = Array.tabulate(dim) { j =>
+          (math.floorMod(fmix(h + j * 40503L), 1000L)).toInt / 1000.0f
+        }
+        MediaFeatures((math.floorMod(fmix(h + 1), 1024L)).toInt + 1,
+          (math.floorMod(fmix(h + 2), 1024L)).toInt + 1, 3, feat)
+      }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Batched per-partition decode: appends a `media` struct column.
+    * @param batchSize payloads per decoder call (Arrow-like batch shape). */
+  def decode(df: DataFrame, binCol: String, decoder: Decoder = StubDecoder,
+             batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media", featureSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      decoder.open()
+      val withClose = it.grouped(batchSize).flatMap { batch =>
+        val rows = batch.toArray
+        val feats = decoder.decodeBatch(rows.map(r =>
+          if (r.isNullAt(binIdx)) Array.empty[Byte] else r.getAs[Array[Byte]](binIdx)))
+        rows.zip(feats).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ Row(f.width, f.height, f.channels, f.feature.toSeq))
+        }
+      }
+      new Iterator[Row] {
+        override def hasNext: Boolean = { val h = withClose.hasNext; if (!h) decoder.close(); h }
+        override def next(): Row = withClose.next()
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+}

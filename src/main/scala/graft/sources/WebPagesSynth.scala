@@ -62,6 +62,9 @@ object WebPagesSynth {
   val markersSql =
     s"array_to_string(['GEO(' || ${lonmSql("k")} || ';' || ${latmSql("k")} || ')' FOR k IN range($nEntsSql)], ' ')"
   val pageTextSql = s"(text || ' ' || $markersSql)"
+  /** html bytes, same concatenation as [[pages]]. */
+  def htmlSql(url: String, pt: String): String =
+    s"encode('<html><head><title>' || $url || '</title></head><body><p>' || $pt || '</p></body></html>')"
 
   /** The input_hint table: (url, warc_ts, html binary, text, lang).
     * `text` carries the GEO markers; `html` wraps text; both derived from

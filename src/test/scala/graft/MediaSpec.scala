@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Media
+import graft.sources.WebPagesSynth
+
+class MediaSpec extends AnyFunSuite with SparkTest {
+
+  test("sniff: byte length + magic detection, no UDF (codegen plan)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "<html><p>x</p></html>".getBytes("UTF-8")),
+      ("b", Array(0x89.toByte, 0x50.toByte, 0x4e.toByte, 0x47.toByte, 1.toByte)),
+      ("c", Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))
+    ).toDF("id", "payload")
+    val out = Media.sniff(df, "payload").select("id", "n_bytes", "kind")
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 21L, "html"), ("b", 5L, "png"), ("c", 4L, "jpeg")))
+    // whole plan stays in codegen: no ScalaUDF node
+    val plan = Media.sniff(df, "payload").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("batched decode: deterministic stub features, batch boundaries invisible") {
+    import spark.implicits._
+    val rows = (1 to 150).map(i => (i.toLong, s"payload-$i".getBytes("UTF-8")))
+    val df = rows.toDF("id", "bin").repartition(3)
+    val out1 = Media.decode(df, "bin", Media.StubDecoder, batchSize = 7)
+      .select($"id", $"media.width", $"media.feature").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toSeq)).sortBy(_._1)
+    val out2 = Media.decode(df, "bin", Media.StubDecoder, batchSize = 64)
+      .select($"id", $"media.width", $"media.feature").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toSeq)).sortBy(_._1)
+    assert(out1.toSeq === out2.toSeq) // batch size must not change results
+    assert(out1.length === 150)
+    assert(out1.map(_._3).distinct.length > 100) // features vary by payload
+  }
+
+  test("decoder open/close called once per partition") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("opens")
+    class CountingDecoder extends Media.Decoder {
+      override def open(): Unit = acc.add(1)
+      override def decodeBatch(p: Array[Array[Byte]]): Array[Media.MediaFeatures] =
+        Media.StubDecoder.decodeBatch(p)
+    }
+    val df = (1 to 20).map(i => (i, Array(i.toByte))).toDF("id", "bin").repartition(4)
+    Media.decode(df, "bin", new CountingDecoder, batchSize = 3).count()
+    assert(acc.value === 4)
+  }
+
+  test("pages html sniffs as html and matches text length + wrapper") {
+    val pages = WebPagesSynth.pages(spark, Sf)
+    val out = Media.sniff(pages, "html").select("kind").distinct().collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("html"))
+  }
+}
