@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One isolated pipeline measurement per JVM (clean-room methodology for
+  * the scaling-efficiency evidence): args = cores, rep, sfDir. Prints one
+  * line `PIPELINE cores=<n> rep=<r> feats=<f> sec=<s> fps=<v>`. */
+object BenchPipeline {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val rep = args(1).toInt
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-pipeline-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // once-per-job driver cost (index build + broadcast), measured separately
+    val tIdx0 = System.nanoTime()
+    val containing = graft.ops.GeoExpressions.containingCol(
+      spark, graft.sources.Layers.polygons(spark, sfDir), Pipeline.CellLevel)
+    val knn = graft.ops.GeoExpressions.knnCol(
+      spark, graft.sources.Layers.pois(spark, sfDir), Pipeline.K, Pipeline.CellLevel)
+    val idxSec = (System.nanoTime() - tIdx0) / 1e9
+    def job() = Pipeline.enrichPrebuilt(Pipeline.entitiesAmplified(spark, sfDir, rep), containing, knn)
+    force(job()) // warmup: identical plan -> JIT + codegen cache warm
+    val secs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      force(job())
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val sec = secs(1) // median of 3
+    val feats = Pipeline.entitiesAmplified(spark, sfDir, rep).count()
+    println(f"PIPELINE cores=$cores rep=$rep feats=$feats sec=$sec%.3f fps=${feats / sec}%.0f idxSec=$idxSec%.2f runs=${secs.map(s => f"$s%.2f").mkString(",")}")
+    spark.stop()
+  }
+}

@@ -44,26 +44,41 @@ class CoverIndex(
 
   def cellKey(cx: Long, cy: Long): Long = (cx << 32) | cy
 
+  private val empty = Array.empty[Long]
+
   /** Polygon ids exactly containing the point (JTS `contains`: boundary
-    * excluded — the synthetic layers keep points off boundaries). */
+    * excluded — the synthetic layers keep points off boundaries), sorted.
+    * Allocation-light: runs once per fact row (10^12 times), so per-probe
+    * garbage is a GC/scaling tax. */
   def containing(lon: Double, lat: Double): Array[Long] = {
     val key = cellKey(CellGrid.cellX(lon, level), CellGrid.cellY(lat, level))
-    cellToPolys.get(key) match {
-      case None => Array.empty
-      case Some(idxs) =>
-        val pt = WkbCodec.point(lon, lat)
-        denseTrees.get(key) match {
-          case Some(tree) =>
-            val out = mutable.ArrayBuffer.empty[Long]
-            val it = tree.query(new Envelope(lon, lon, lat, lat)).iterator()
-            while (it.hasNext) {
-              val i = it.next().asInstanceOf[Integer].intValue()
-              if (prepared(i).contains(pt)) out += polyIds(i)
-            }
-            out.sorted.toArray
-          case None =>
-            idxs.iterator.filter(i => prepared(i).contains(pt)).map(polyIds).toArray.sorted
-        }
+    val idxs = cellToPolys.getOrElse(key, null)
+    if (idxs == null) return empty
+    val pt = WkbCodec.point(lon, lat)
+    val tree = denseTrees.getOrElse(key, null)
+    if (tree != null) {
+      val cands = tree.query(new Envelope(lon, lon, lat, lat))
+      val out = new Array[Long](cands.size())
+      var m = 0; var j = 0
+      while (j < cands.size()) {
+        val i = cands.get(j).asInstanceOf[Integer].intValue()
+        if (prepared(i).contains(pt)) { out(m) = polyIds(i); m += 1 }
+        j += 1
+      }
+      val res = java.util.Arrays.copyOf(out, m)
+      java.util.Arrays.sort(res)
+      res
+    } else {
+      val out = new Array[Long](idxs.length)
+      var m = 0; var j = 0
+      while (j < idxs.length) {
+        val i = idxs(j)
+        if (prepared(i).contains(pt)) { out(m) = polyIds(i); m += 1 }
+        j += 1
+      }
+      val res = java.util.Arrays.copyOf(out, m)
+      java.util.Arrays.sort(res)
+      res
     }
   }
 

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.{GraftShim => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import graft.index.CoverIndex
+
+/** Native Catalyst expressions for the hot broadcast probes.
+  *
+  * A Scala UDF returning `Array[Long]` goes through CatalystTypeConverters:
+  * every element is BOXED into a GenericArrayData — ~10 heap objects per
+  * fact row. At 10^12 rows that garbage is the scaling bottleneck (profiled
+  * locally: worker JVMs burn ~half their CPU in GC). These expressions
+  * return `UnsafeArrayData.fromPrimitiveArray` directly — one flat buffer,
+  * zero boxing. `CodegenFallback` is fine: the JTS/grid probe dominates,
+  * and fallback still runs inside the surrounding whole-stage-codegen'd
+  * projection.
+  */
+case class PolyContainsExpr(left: Expression, right: Expression,
+                            bc: Broadcast[CoverIndex])
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      bc.value.containing(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_containing_polys"
+}
+
+case class KnnPoisExpr(left: Expression, right: Expression,
+                       bc: Broadcast[PoiGrid], k: Int)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      bc.value.knn(lon.asInstanceOf[Double], lat.asInstanceOf[Double], k))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_knn_pois"
+}
+
+object GeoExpressions {
+
+  /** (lon, lat) -> array<long> of containing polygon ids; polygon layer
+    * collected + broadcast once. */
+  def containingCol(spark: SparkSession, polygons: DataFrame, level: Int): (Column, Column) => Column = {
+    val collected = polygons.select("poly_id", "geom").collect()
+    val idx = CoverIndex.build(
+      collected.map(_.getLong(0)), collected.map(_.getAs[Array[Byte]](1)), level)
+    val bc = spark.sparkContext.broadcast(idx)
+    (lon, lat) => ExpressionUtils.column(
+      PolyContainsExpr(ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), bc))
+  }
+
+  /** (lon, lat) -> array<long> of the k nearest poi ids, ordered. */
+  def knnCol(spark: SparkSession, pois: DataFrame, k: Int, level: Int): (Column, Column) => Column = {
+    val rows = pois.select("poi_id", "px", "py").collect()
+    val grid = new PoiGrid(level, rows.map(_.getLong(0)),
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    val bc = spark.sparkContext.broadcast(grid)
+    (lon, lat) => ExpressionUtils.column(
+      KnnPoisExpr(ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), bc, k))
+  }
+}

@@ -36,26 +36,35 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
     m.view.mapValues(_.toArray).toMap
   }
 
-  /** Ordered (by dist2 asc, poi_id asc) ids of the k nearest POIs. */
+  /** Ordered (by dist2 asc, poi_id asc) ids of the k nearest POIs.
+    * Allocation-light (primitive insertion buffers): this runs 10^12 times
+    * on the fact side, so per-probe garbage is a GC/scaling tax. */
   def knn(px: Double, py: Double, k: Int): Array[Long] = {
     if (ids.isEmpty || k <= 0) return Array.empty
     val cx = CellGrid.cellX(px, level); val cy = CellGrid.cellY(py, level)
     val maxC = n - 1
-    // best-k kept as (dist2, id), worst at head of a bounded buffer
-    val best = mutable.ArrayBuffer.empty[(Double, Long)]
-    val ord = Ordering.Tuple2[Double, Long]
-    def sortBest(): Unit = { val s = best.sortBy(identity)(ord); best.clear(); best ++= s }
+    val kk = math.min(k, ids.length)
+    val bd = new Array[Double](kk) // ascending (dist2, id) insertion buffers
+    val bi = new Array[Long](kk)
+    var size = 0
     def consider(i: Int): Unit = {
       val dx = px - xs(i); val dy = py - ys(i)
       val d2 = dx * dx + dy * dy
-      val e = (d2, ids(i))
-      if (best.size < k) { best += e; if (best.size == k) sortBest() }
-      else if (ord.lt(e, best.last)) { best(k - 1) = e; sortBest() }
+      val id = ids(i)
+      if (size < kk || d2 < bd(size - 1) || (d2 == bd(size - 1) && id < bi(size - 1))) {
+        var p = if (size < kk) size else size - 1
+        while (p > 0 && (bd(p - 1) > d2 || (bd(p - 1) == d2 && bi(p - 1) > id))) {
+          bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bd(p) = d2; bi(p) = id
+        if (size < kk) size += 1
+      }
     }
-
     def probe(x: Long, y: Long): Unit =
-      if (x >= 0 && x <= maxC && y >= 0 && y <= maxC)
-        byCell.get((x << 32) | y).foreach(_.foreach(consider))
+      if (x >= 0 && x <= maxC && y >= 0 && y <= maxC) {
+        val arr = byCell.getOrElse((x << 32) | y, null)
+        if (arr != null) { var i = 0; while (i < arr.length) { consider(arr(i)); i += 1 } }
+      }
 
     var r = 0L
     var done = false
@@ -75,25 +84,30 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
       val dOut = math.min(math.min(px - minX, maxX - px), math.min(py - minY, maxY - py))
       val coveredAll = cx - r <= 0 && cy - r <= 0 && cx + r >= maxC && cy + r >= maxC
       if (coveredAll) done = true
-      else if (best.size >= k && best.last._1 <= dOut * dOut) done = true
+      else if (size >= kk && bd(size - 1) <= dOut * dOut) done = true
       else r += 1
     }
-    if (best.size > 1 && best.size < k) { val s = best.sortBy(identity)(ord); best.clear(); best ++= s }
-    best.take(k).map(_._2).toArray
+    java.util.Arrays.copyOf(bi, size)
   }
 }
 
 object KnnJoin {
 
-  /** points must carry (lon, lat); pois (poi_id, px, py). Output: point rows
-    * + (knn_rank int starting at 1, poi_id long). */
-  def broadcastKnn(spark: SparkSession, points: DataFrame, pois: DataFrame,
-                   k: Int, level: Int = 6): DataFrame = {
+  /** Collect + broadcast the POI layer, return a (lon,lat)->ordered ids UDF. */
+  def knnUdf(spark: SparkSession, pois: DataFrame, k: Int,
+             level: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rows = pois.select("poi_id", "px", "py").collect()
     val grid = new PoiGrid(level, rows.map(_.getLong(0)),
       rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
     val bc = spark.sparkContext.broadcast(grid)
-    val knnUdf = udf((lon: Double, lat: Double) => bc.value.knn(lon, lat, k))
+    udf((lon: Double, lat: Double) => bc.value.knn(lon, lat, k))
+  }
+
+  /** points must carry (lon, lat); pois (poi_id, px, py). Output: point rows
+    * + (knn_rank int starting at 1, poi_id long). */
+  def broadcastKnn(spark: SparkSession, points: DataFrame, pois: DataFrame,
+                   k: Int, level: Int = 6): DataFrame = {
+    val knnUdf = GeoExpressions.knnCol(spark, pois, k, level)
     points
       .withColumn("knn", knnUdf(col("lon"), col("lat")))
       .select(col("*"), posexplode(col("knn")).as(Seq("knn_pos", "poi_id")))

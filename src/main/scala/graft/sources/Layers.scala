@@ -16,15 +16,33 @@ import graft.geom.WkbCodec
 object Layers {
 
   // ---- polygon layer (from `part`): diamond |x-cx|+|y-cy| <= r ----
+  // Urban polygons (10%) are SMALL diamonds scattered on a half-grid-offset
+  // lattice inside the 1-degree urban square (lon 20..21, lat 0..1): the
+  // covering CELL stays hot (all of them + ~25% of points land in it, the
+  // skew case), but each point matches only a handful of polygons — with
+  // one shared center the PIP output would explode quadratically.
+  // Gap guarantee: point coords are k/20, urban centers (m+0.5)/20-offset,
+  // so manhattan distances are multiples of 0.05; r=0.1125 keeps >=0.0125
+  // clearance; non-urban centers are at half-integers, r in {.375,.425,.475}
+  // keeps >=0.025 clearance.
   def polyIsUrban(p: Column): Column = p % 10 === 0
-  def polyCx(p: Column): Column = when(polyIsUrban(p), 20.5).otherwise(((p * 131) % 360) - lit(179.5))
-  def polyCy(p: Column): Column = when(polyIsUrban(p), 0.5).otherwise(((p * 37) % 140) - lit(69.5))
-  def polyR(p: Column): Column = when(polyIsUrban(p), 0.975).otherwise(lit(0.375) + (p % 3) * 0.05)
+  private def udiv10(p: Column): Column = (p / 10).cast("long")
+  def polyCx(p: Column): Column =
+    when(polyIsUrban(p), lit(20.0) + ((udiv10(p) * 7) % 20) / 20.0 + 0.025)
+      .otherwise(((p * 131) % 360) - lit(179.5))
+  def polyCy(p: Column): Column =
+    when(polyIsUrban(p), ((udiv10(p) * 13) % 20) / 20.0 + 0.025)
+      .otherwise(((p * 37) % 140) - lit(69.5))
+  def polyR(p: Column): Column = when(polyIsUrban(p), 0.1125).otherwise(lit(0.375) + (p % 3) * 0.05)
 
   val polyIsUrbanSql = "(p_partkey % 10 = 0)"
-  val polyCxSql = s"(CASE WHEN $polyIsUrbanSql THEN 20.5 ELSE ((p_partkey * 131) % 360) - 179.5 END)"
-  val polyCySql = s"(CASE WHEN $polyIsUrbanSql THEN 0.5 ELSE ((p_partkey * 37) % 140) - 69.5 END)"
-  val polyRSql = s"(CASE WHEN $polyIsUrbanSql THEN 0.975 ELSE 0.375 + (p_partkey % 3) * 0.05 END)"
+  val polyCxSql =
+    s"(CASE WHEN $polyIsUrbanSql THEN 20.0 + (((p_partkey // 10) * 7) % 20) / 20.0 + 0.025" +
+      s" ELSE ((p_partkey * 131) % 360) - 179.5 END)"
+  val polyCySql =
+    s"(CASE WHEN $polyIsUrbanSql THEN (((p_partkey // 10) * 13) % 20) / 20.0 + 0.025" +
+      s" ELSE ((p_partkey * 37) % 140) - 69.5 END)"
+  val polyRSql = s"(CASE WHEN $polyIsUrbanSql THEN 0.1125 ELSE 0.375 + (p_partkey % 3) * 0.05 END)"
 
   /** (poly_id long, cx, cy, r double, geom binary WKB) — the geom column is
     * real JTS-built WKB; downstream spatial ops consume only the WKB. */
