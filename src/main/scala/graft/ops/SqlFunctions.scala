@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.geom.{GeoJsonDecode, Mercator, WkbCodec}
+
+/** SQL function surface (`st_*`). Pure-math functions are built as
+  * COMPOSITIONS of built-in Catalyst expressions — they constant-fold and
+  * whole-stage-codegen for free; only the JTS-backed ones are custom
+  * expression classes (CodegenFallback — geometry work dominates).
+  *
+  * Register per session via [[GraftFunctions.register]] or for every
+  * session with `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+object SqlFunctions {
+
+  // ---- pure-math builders (composed built-ins; full codegen) ----
+  private def d(e: Expression) = Cast(e, DoubleType)
+  private def clamp(e: Expression, max: Long) =
+    Greatest(Seq(Literal(0L), Least(Seq(Literal(max), Cast(e, LongType)))))
+
+  /** floor((lon + 180) / 360 * 2^level), clamped — matches CellGrid.cellX. */
+  def cellX(lon: Expression, level: Int): Expression =
+    clamp(Floor(Multiply(Divide(Add(d(lon), Literal(180.0)), Literal(360.0)),
+      Literal((1L << level).toDouble))), (1L << level) - 1)
+
+  def cellY(lat: Expression, level: Int): Expression =
+    clamp(Floor(Multiply(Divide(Add(d(lat), Literal(90.0)), Literal(180.0)),
+      Literal((1L << level).toDouble))), (1L << level) - 1)
+
+  def cellId(lon: Expression, lat: Expression, level: Int): Expression =
+    Add(Add(Literal(level.toLong << 58),
+      Multiply(cellX(lon, level), Literal(1L << 29))), cellY(lat, level))
+
+  def tileX(lon: Expression, z: Int): Expression = cellXLike(lon, z)
+  private def cellXLike(lon: Expression, z: Int): Expression =
+    clamp(Floor(Multiply(Divide(Add(d(lon), Literal(180.0)), Literal(360.0)),
+      Literal((1L << z).toDouble))), (1L << z) - 1)
+
+  /** floor((1 - ln(tan(rad)+1/cos(rad))/pi)/2 * 2^z), clamped. */
+  def tileY(lat: Expression, z: Int): Expression = {
+    val r = Multiply(d(lat), Literal(math.Pi / 180.0))
+    val inner = Add(Tan(r), Divide(Literal(1.0), Cos(r)))
+    val merc = Divide(Log(inner), Literal(math.Pi))
+    clamp(Floor(Multiply(Divide(Subtract(Literal(1.0), merc), Literal(2.0)),
+      Literal((1L << z).toDouble))), (1L << z) - 1)
+  }
+
+  def mercX(lon: Expression): Expression =
+    Multiply(d(lon), Literal(Mercator.EarthRadius * math.Pi / 180.0))
+
+  def mercY(lat: Expression): Expression = {
+    val clat = Greatest(Seq(Literal(-Mercator.MaxLat), Least(Seq(Literal(Mercator.MaxLat), d(lat)))))
+    val r = Multiply(clat, Literal(math.Pi / 180.0))
+    Multiply(Literal(Mercator.EarthRadius),
+      Log(Tan(Add(Literal(math.Pi / 4.0), Divide(r, Literal(2.0))))))
+  }
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case _ => throw graft.GraftError.Format(s"$what must be an integer literal")
+  }
+
+  // ---- JTS-backed custom expressions ----
+  // (AbstractDataType is private[sql], so instead of ImplicitCastInputTypes
+  // the evals accept any numeric representation the parser produces)
+  private def asD(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case dec: Decimal        => dec.toDouble
+    case n: java.lang.Number => n.doubleValue()
+  }
+  private def asI(v: Any): Int = v match {
+    case dec: Decimal        => dec.toInt
+    case n: java.lang.Number => n.intValue()
+  }
+  case class StGeomFromGeoJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      WkbCodec.write(GeoJsonDecode.parse(v.toString))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "st_geomfromgeojson"
+  }
+
+  case class StGeometryType(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        WkbCodec.read(v.asInstanceOf[Array[Byte]]).getGeometryType)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "st_geometrytype"
+  }
+
+  case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        WkbCodec.read(v.asInstanceOf[Array[Byte]]).toText)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "st_astext"
+  }
+
+  /** Per-coordinate Mercator reproject of a WKB geometry (P3 as a column
+    * function; only 4326<->3857, like the reference's validation). */
+  case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(wkb: Any, from: Any, to: Any): Any = {
+      val g = WkbCodec.read(wkb.asInstanceOf[Array[Byte]])
+      val f = asI(from); val t = asI(to)
+      g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+        override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+          val (x, y) = Mercator.transform(c.x, c.y, f, t); c.x = x; c.y = y
+        }
+      })
+      g.geometryChanged()
+      WkbCodec.write(g)
+    }
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+      copy(first = a, second = b, third = c)
+    override def prettyName: String = "st_transform"
+  }
+
+  case class StContains(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      WkbCodec.read(a.asInstanceOf[Array[Byte]]).contains(
+        WkbCodec.read(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_contains"
+  }
+
+  case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(x: Any, y: Any): Any =
+      WkbCodec.write(WkbCodec.point(asD(x), asD(y)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_point"
+  }
+
+  /** name -> (builder, usage) */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_cell_x" -> (es => cellX(es(0), intArg(es(1), "level"))),
+    "st_cell_y" -> (es => cellY(es(0), intArg(es(1), "level"))),
+    "st_cell_id" -> (es => cellId(es(0), es(1), intArg(es(2), "level"))),
+    "st_tile_x" -> (es => tileX(es(0), intArg(es(1), "zoom"))),
+    "st_tile_y" -> (es => tileY(es(0), intArg(es(1), "zoom"))),
+    "st_merc_x" -> (es => mercX(es(0))),
+    "st_merc_y" -> (es => mercY(es(0))),
+    "st_geomfromgeojson" -> (es => StGeomFromGeoJson(es(0))),
+    "st_geometrytype" -> (es => StGeometryType(es(0))),
+    "st_astext" -> (es => StAsText(es(0))),
+    "st_transform" -> (es => StTransform(es(0), es(1), es(2))),
+    "st_contains" -> (es => StContains(es(0), es(1))),
+    "st_point" -> (es => StPoint(es(0), es(1)))
+  )
+}
+
+object GraftFunctions {
+  /** Register all st_* functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    SqlFunctions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
