@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the load-bearing queries so plan
+  * regressions (lost pushdown, broken codegen, wrong join strategy) are
+  * visible. Run: `sbt "runMain graft.PlanAudit [sfDir]"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    show("q01 lineitem agg (expect: parquet pushdown, partial agg, WSCG)")(
+      SparkEntry.queries("q01_lineitem_agg")(spark, sfDir))
+    show("q02 join topn (expect: BroadcastHashJoin on customer)")(
+      SparkEntry.queries("q02_join_topn")(spark, sfDir))
+    show("flagship pipeline (expect: single narrow WSCG stage after scan+small repart)")(
+      Pipeline.run(spark, sfDir))
+    show("q13 pip join broadcast (expect: no shuffle before explode)")(
+      SparkEntry.queries("q13_pip_join")(spark, sfDir))
+    show("q21 minhash (expect: partial aggs; single-partition window only on tiny vocab)")(
+      SparkEntry.queries("q21_minhash_lsh")(spark, sfDir))
+    show("q27 ann topk (expect: broadcast of queries side)")(
+      SparkEntry.queries("q27_ann_topk")(spark, sfDir))
+    spark.stop()
+  }
+}

@@ -68,11 +68,16 @@ object Dedup {
   }
 
   private def bandPairs(sigs: DataFrame): DataFrame = {
-    val bandDfs = (0 until Bands).map { b =>
+    // one explode, NOT a union of per-band selects: Catalyst does not share
+    // common subtrees across union branches, so the union form re-derived
+    // the whole corpus->shingle->vocab->sig pipeline once per band
+    val bandStructs = (0 until Bands).map { b =>
       val key = concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string")): _*)
-      sigs.select(lit(b).as("band"), key.as("bkey"), col("doc_id"))
+      struct(lit(b).as("band"), key.as("bkey"))
     }
-    val buckets = bandDfs.reduce(_ unionAll _)
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val a = buckets.as("a"); val bb = buckets.as("b")
     a.join(bb, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
       && col("a.doc_id") < col("b.doc_id"))
