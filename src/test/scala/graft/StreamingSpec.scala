@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SparkTest {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed stats with watermark over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedStats(events, "10 minutes", "10 minutes", "15 minutes")
+      .writeStream.format("memory").queryName("winstats").outputMode("append").start()
+    try {
+      in.addData((ts(0), "click", 1.0), (ts(60), "click", 2.0), (ts(120), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window
+      in.addData((ts(4000), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total FROM winstats ORDER BY event_type")
+        .as[(String, Long, Double)].collect()
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("event-time sessionization: gap closes sessions, state times out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS(), gapSeconds = 30, watermark = "5 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session); user 2: one event
+      in.addData(Ev(1, ts(100), 1.0), Ev(1, ts(110), 2.0), Ev(2, ts(105), 7.0))
+      q.processAllAvailable()
+      // in-batch gap: user 1 again much later -> first session closes via timeout
+      in.addData(Ev(1, ts(500), 4.0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(2000), 0.0)) // push watermark to close the rest
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, total FROM sessions ORDER BY user_id, n_events")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(rows.contains((1L, 2L, 3.0)))  // first session of user 1
+      assert(rows.contains((1L, 1L, 4.0)))  // second session of user 1
+      assert(rows.contains((2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("same windowed op runs in batch mode over the events table") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val out = EventStreams.windowedStats(ev, "1 hour", "1 hour", "1 hour")
+    assert(out.count() > 0)
+    assert(out.columns.toSeq === Seq("win_start", "win_end", "event_type", "n", "total"))
+  }
+}
