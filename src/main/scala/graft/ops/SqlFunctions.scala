@@ -147,8 +147,61 @@ object SqlFunctions {
     override def prettyName: String = "st_point"
   }
 
+  /** Generic unary/binary JTS wrappers for the standard OGC-ish surface. */
+  case class StUnaryGeom(child: Expression, name: String,
+                         f: org.locationtech.jts.geom.Geometry => Any, dt: DataType)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = dt
+    override def nullSafeEval(v: Any): Any = f(WkbCodec.read(v.asInstanceOf[Array[Byte]])) match {
+      case g: org.locationtech.jts.geom.Geometry => WkbCodec.write(g)
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => other
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = name
+  }
+
+  case class StBinaryGeomPred(left: Expression, right: Expression, name: String,
+      f: (org.locationtech.jts.geom.Geometry, org.locationtech.jts.geom.Geometry) => Any,
+      dt: DataType)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = dt
+    override def nullSafeEval(a: Any, b: Any): Any =
+      f(WkbCodec.read(a.asInstanceOf[Array[Byte]]), WkbCodec.read(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = name
+  }
+
+  case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(wkb: Any, dist: Any): Any =
+      WkbCodec.write(WkbCodec.read(wkb.asInstanceOf[Array[Byte]]).buffer(asD(dist)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_buffer"
+  }
+
   /** name -> (builder, usage) */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_area" -> (es => StUnaryGeom(es(0), "st_area", _.getArea, DoubleType)),
+    "st_length" -> (es => StUnaryGeom(es(0), "st_length", _.getLength, DoubleType)),
+    "st_npoints" -> (es => StUnaryGeom(es(0), "st_npoints", _.getNumPoints.toLong, LongType)),
+    "st_isvalid" -> (es => StUnaryGeom(es(0), "st_isvalid", _.isValid, BooleanType)),
+    "st_centroid" -> (es => StUnaryGeom(es(0), "st_centroid", _.getCentroid, BinaryType)),
+    "st_envelope" -> (es => StUnaryGeom(es(0), "st_envelope", _.getEnvelope, BinaryType)),
+    "st_x" -> (es => StUnaryGeom(es(0), "st_x",
+      g => g.asInstanceOf[org.locationtech.jts.geom.Point].getX, DoubleType)),
+    "st_y" -> (es => StUnaryGeom(es(0), "st_y",
+      g => g.asInstanceOf[org.locationtech.jts.geom.Point].getY, DoubleType)),
+    "st_distance" -> (es => StBinaryGeomPred(es(0), es(1), "st_distance",
+      (a, b) => a.distance(b), DoubleType)),
+    "st_intersects" -> (es => StBinaryGeomPred(es(0), es(1), "st_intersects",
+      (a, b) => a.intersects(b), BooleanType)),
+    "st_within" -> (es => StBinaryGeomPred(es(0), es(1), "st_within",
+      (a, b) => a.within(b), BooleanType)),
+    "st_buffer" -> (es => StBuffer(es(0), es(1))),
     "st_cell_x" -> (es => cellX(es(0), intArg(es(1), "level"))),
     "st_cell_y" -> (es => cellY(es(0), intArg(es(1), "level"))),
     "st_cell_id" -> (es => cellId(es(0), es(1), intArg(es(2), "level"))),

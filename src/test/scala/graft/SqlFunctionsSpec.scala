@@ -57,4 +57,28 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTest {
     val holder = new org.apache.spark.sql.SparkSessionExtensions
     ext(holder) // must not throw
   }
+
+  test("OGC-ish geometry function library") {
+    assert(registered)
+    val r = spark.sql(
+      """SELECT st_area(g) AS area, st_length(g) AS len, st_npoints(g) AS np,
+        |       st_isvalid(g) AS v, st_astext(st_centroid(g)) AS c,
+        |       st_geometrytype(st_envelope(g)) AS env,
+        |       st_x(st_point(3.0, 4.0)) AS px, st_y(st_point(3.0, 4.0)) AS py,
+        |       st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)) AS d,
+        |       st_intersects(g, st_point(1.0, 1.0)) AS i,
+        |       st_within(st_point(1.0, 1.0), g) AS w,
+        |       st_area(st_buffer(st_point(0.0, 0.0), 1.0)) > 3.0 AS buf
+        |FROM (SELECT st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}') AS g)"""
+        .stripMargin).collect()(0)
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 8.0)
+    assert(r.getLong(2) === 5L)
+    assert(r.getBoolean(3))
+    assert(r.getString(4) === "POINT (1 1)")
+    assert(r.getString(5) === "Polygon")
+    assert(r.getDouble(6) === 3.0 && r.getDouble(7) === 4.0)
+    assert(r.getDouble(8) === 5.0)
+    assert(r.getBoolean(9) && r.getBoolean(10) && r.getBoolean(11))
+  }
 }
