@@ -60,8 +60,10 @@ object Bench {
     val spark1 = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark1, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // failure marker -1: a broken query must not masquerade as a duration
+      val ok = try { force(fn(spark1, sfDir)); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // --- in-JVM measurement at full parallelism (absolute throughput) ---
     val (featsHi, secHi, idxHi) = timePipeline(spark1, sfDir, rep)
@@ -152,8 +154,11 @@ object Bench {
          |
          || query | sec |
          ||---|---|
-         |${results.map { case (k, v) => s"| $k | ${f"$v%.2f"} |" }.mkString("\n")}
-         |""".stripMargin
+         |""".stripMargin +
+        // generated rows appended AFTER stripMargin: embedded rows starting
+        // with '|' would otherwise lose their leading pipe to the margin strip
+        results.map { case (k, v) =>
+          s"| $k | ${if (v < 0) "FAILED" else f"$v%.2f"} |" }.mkString("", "\n", "\n")
     try Files.writeString(Paths.get("BENCH.md"), md)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }
   }

@@ -22,6 +22,18 @@ import graft.table.TableLog
   * property in the manifest (crud.rs:64 semantics).
   */
 object Main {
+
+  /** The whole pipeline minus session lifecycle (testable e2e). */
+  def run(spark: SparkSession, input: String, table: String,
+          srid: Int = 4326, reproject: Option[Int] = None,
+          mode: String = "fail"): graft.table.TableLog.Snapshot = {
+    val isPbf = input.toLowerCase.endsWith(".pbf")
+    val effSrid = if (isPbf) 4326 else srid // reference forces 4326 for pbf
+    // all three formats flow through the dispatch (validateArgs included)
+    val df = SourceDispatch.read(spark, input, effSrid, reproject)
+    TableLog.write(df, table, mode, srid = reproject.getOrElse(effSrid))
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -41,12 +53,7 @@ object Main {
                  else builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]")))
       .getOrCreate()
     try {
-      val isPbf = input.toLowerCase.endsWith(".pbf")
-      val effSrid = if (isPbf) 4326 else srid // reference forces 4326 for pbf
-      val df =
-        if (isPbf) sources.OsmPbfReader.read(spark, input).select("tags", "geom")
-        else SourceDispatch.read(spark, input, effSrid, reproject)
-      val snap = TableLog.write(df, table, mode, srid = reproject.getOrElse(effSrid))
+      val snap = run(spark, input, table, srid, reproject, mode)
       println(s"[graft] wrote snapshot ${snap.snapshot} of $table: " +
         s"${snap.buckets.values.map(_.rows).sum} rows, mode=$mode, srid=${snap.srid}")
     } finally spark.stop()

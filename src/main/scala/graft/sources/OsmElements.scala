@@ -28,9 +28,14 @@ object OsmElements {
       array(concat(lit("name="), col("c_name"))).as("tags"))
   }
 
+  // customer count drives the ref modulus; cache it per sfDir so repeated
+  // ways() calls (entry + queries in one session) don't re-run a count job
+  private val ncustCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def ways(spark: SparkSession, sfDir: String): DataFrame = {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
-    val ncust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    val ncust = ncustCache.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/customer.parquet").count())
     val w = col("o_orderkey")
     val nrefs = lit(4) + (w % 5)
     val refAt = (i: org.apache.spark.sql.Column) =>

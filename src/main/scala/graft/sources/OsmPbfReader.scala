@@ -111,9 +111,19 @@ object OsmPbfReader {
       else if (zlib != null) {
         val inf = new Inflater()
         inf.setInput(body, zlib._1, zlib._2)
-        val out = new Array[Byte](if (rawSize > 0) rawSize else ref.length * 8)
+        // raw_size is optional in the spec: grow the buffer instead of
+        // truncating highly-compressible blobs when it is absent/undersized
+        var out = new Array[Byte](if (rawSize > 0) rawSize else math.max(4096, ref.length * 4))
         var n = 0
-        while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
+        while (!inf.finished()) {
+          if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          val got = inf.inflate(out, n, out.length - n)
+          // output space is guaranteed above, so a zero-byte step means the
+          // stream is truncated or needs a preset dictionary — fail, don't spin
+          if (got == 0 && !inf.finished())
+            throw GraftError.Format(s"truncated or unsupported zlib blob at offset ${ref.offset}")
+          n += got
+        }
         inf.end()
         if (n == out.length) out else java.util.Arrays.copyOf(out, n)
       } else throw GraftError.Format("blob has neither raw nor zlib_data")

@@ -39,8 +39,11 @@ object SourceDispatch {
     determineFileType(path) match {
       case Shapefile => ShapefileReader.read(spark, path, srid, reproject)
       case GeoJson   => GeoJsonReader.read(spark, path, srid, reproject)
-      case OsmPbf    => throw GraftError.Format(
-        "binary .pbf decode not yet wired; use OsmElements + OsmWayAssembly for the dataflow")
+      case OsmPbf    =>
+        // reference parity (`src/utils/cli.rs:64-66`): pbf is always 4326 and
+        // `read_osmpbf` never reprojects (reproject only touches shp/geojson,
+        // `shapefile.rs:159`/`geojson.rs:147`); fixed schema tags[] + geom
+        OsmPbfReader.read(spark, path).select("tags", "geom")
     }
   }
 }
