@@ -3,9 +3,11 @@ package graft
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
-/** Minimal .shp/.dbf writers for synthesizing test fixtures (FIXTURES.md
-  * §3) — deterministic, no external data. Format per the public ESRI
-  * shapefile whitepaper and dBase III spec. */
+/** Minimal .shp/.dbf writers for synthesizing deterministic fixtures
+  * (FIXTURES.md §3) — no external data. Format per the public ESRI
+  * shapefile whitepaper and dBase III spec. Lives in main scope because
+  * the oracle-checked file-source queries (SparkEntry q40-q42) synthesize
+  * their inputs through these writers at query time. */
 object FixtureWriters {
 
   /** Write polygon shapefile: each record = one ring (closed, clockwise =
@@ -64,10 +66,12 @@ object FixtureWriters {
     Files.write(Paths.get(path), b.array())
   }
 
-  /** dBase III .dbf with Numeric/Character/Logical fields.
-    * fields: (name, type 'N'|'C'|'L', length); rows of string cell values
-    * (numerics right-justified automatically). */
+  /** dBase .dbf with Numeric/Character/Logical/Integer fields.
+    * fields: (name, type 'N'|'C'|'L'|'I', length); rows of string cell
+    * values (numerics right-justified automatically; 'I' cells are decimal
+    * strings written as BINARY little-endian int32, length must be 4). */
   def writeDbf(path: String, fields: Seq[(String, Char, Int)], rows: Seq[Seq[String]]): Unit = {
+    require(fields.forall { case (_, t, l) => t != 'I' || l == 4 }, "'I' fields must have length 4")
     val headerSize = 32 + 32 * fields.length + 1
     val recSize = 1 + fields.map(_._3).sum
     val b = ByteBuffer.allocate(headerSize + recSize * rows.length + 1).order(ByteOrder.LITTLE_ENDIAN)
@@ -89,9 +93,13 @@ object FixtureWriters {
       b.put(off, 0x20.toByte)
       var p = off + 1
       fields.zip(row).foreach { case ((_, typ, len), v) =>
-        val s = if (typ == 'N') v.reverse.padTo(len, ' ').reverse else v.padTo(len, ' ')
-        val sb = s.take(len).getBytes("ASCII")
-        System.arraycopy(sb, 0, b.array(), p, len)
+        if (typ == 'I') {
+          b.putInt(p, v.toInt) // binary little-endian int32 (buffer order)
+        } else {
+          val s = if (typ == 'N') v.reverse.padTo(len, ' ').reverse else v.padTo(len, ' ')
+          val sb = s.take(len).getBytes("ASCII")
+          System.arraycopy(sb, 0, b.array(), p, sb.length)
+        }
         p += len
       }
       off += recSize

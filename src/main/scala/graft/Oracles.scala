@@ -203,6 +203,10 @@ object Oracles {
          |   CASE WHEN hex(encode(left(htmlstr, 4))) = '3C68746D' THEN 'html' ELSE 'unknown' END AS kind
          | FROM pages""".stripMargin.replace("\n", " "),
 
+    "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
+    "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
+    "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,
+
     "q28_lsh_neardup" ->
       s"""WITH $quantElsCorpusCte,
          | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr

@@ -103,6 +103,12 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
     "q26_fingerprint" -> ((s, dir) => TextStats.fingerprints(t(s, dir, "documents"))),
 
+    // --- file sources end-to-end (fixture synthesized at query time from
+    // closed-form defs; oracle = VALUES literal from the SAME defs) ---
+    "q40_geojson_scan" -> ((s, _) => sources.FileFixtures.geojsonScanQuery(s)),
+    "q41_shapefile_scan" -> ((s, _) => sources.FileFixtures.shapefileScanQuery(s)),
+    "q42_pbf_scan" -> ((s, _) => sources.FileFixtures.pbfScanQuery(s)),
+
     // --- multimodal binary columns ---
     "q31_media_meta" -> ((s, dir) =>
       Media.sniff(WebPagesSynth.pages(s, dir), "html")

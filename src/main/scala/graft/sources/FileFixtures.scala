@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.FixtureWriters
+
+/** Oracle-checked file-source coverage (S1-S4, P1-P4, S5-S7): each query
+  * synthesizes a deterministic fixture FILE from the closed-form
+  * definitions below, reads it back through the REAL binary reader
+  * (GeoJsonReader / ShapefileReader / OsmPbfReader), and emits
+  * BIGINT/VARCHAR columns. The DuckDB oracle is a VALUES literal generated
+  * from the SAME closed-form definitions — never from the reader output —
+  * so a decode bug on the Spark side cannot self-verify.
+  *
+  * Matches the reference's own file tests: `geojson.rs:187-201`,
+  * `shapefile.rs:192-208`, `osmpbf.rs:155-166`.
+  *
+  * All expected numerics are exact in IEEE: coordinates are small integers,
+  * values are quarters/halves, centroids of axis-aligned integer squares
+  * are exact midpoints (correctly-rounded division of exactly-representable
+  * operands with a representable true quotient).
+  */
+object FileFixtures {
+
+  // ---------- SQL literal helpers ----------
+  private def lit(s: String) = "'" + s.replace("'", "''") + "'"
+  private def big(n: Long) = s"CAST($n AS BIGINT)"
+  private def valuesSql(cols: Seq[String], rows: Seq[Seq[String]]): String =
+    s"SELECT * FROM (VALUES ${rows.map(_.mkString("(", ", ", ")")).mkString(", ")}) " +
+      s"AS t(${cols.mkString(", ")})"
+
+  // ================= q40: GeoJSON =================
+  /** 12 features alternating Point / axis-aligned integer square, with a
+    * `geom` property key that the reader must SKIP (geojson.rs:34-36). */
+  final case class GeoFeat(i: Int) {
+    val name = s"f$i"
+    val value: Double = (i * 3 + 1) / 4.0 // exact quarters
+    val flag: Boolean = i % 3 == 0
+    val isPoint: Boolean = i % 2 == 0
+    val x: Int = -150 + i * 25
+    val y: Int = -60 + i * 10
+    val side: Int = 1 + i % 4
+    def gtype: String = if (isPoint) "Point" else "Polygon"
+    def npts: Long = if (isPoint) 1L else 5L
+    def area2: Long = if (isPoint) 0L else 2L * side * side
+    def x4: Long = if (isPoint) 4L * x else 4L * x + 2L * side
+    def y4: Long = if (isPoint) 4L * y else 4L * y + 2L * side
+    def valQ: Long = i * 3 + 1
+    def flag01: Long = if (flag) 1L else 0L
+    def geomJson: String =
+      if (isPoint) s"""{"type":"Point","coordinates":[$x,$y]}"""
+      else s"""{"type":"Polygon","coordinates":[[[$x,$y],[$x,${y + side}],""" +
+        s"""[${x + side},${y + side}],[${x + side},$y],[$x,$y]]]}"""
+  }
+  val geoFeats: Seq[GeoFeat] = (0 until 12).map(GeoFeat)
+
+  def writeGeoJson(path: String): Unit = {
+    val feats = geoFeats.map { f =>
+      s"""{"type":"Feature","properties":{"name":"${f.name}","val":${f.value},""" +
+        s""""flag":${f.flag},"geom":${f.i}},"geometry":${f.geomJson}}"""
+    }
+    Files.writeString(Paths.get(path),
+      s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}""")
+  }
+
+  def geojsonScanQuery(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q40")
+    val path = s"$dir/fix.geojson"
+    writeGeoJson(path)
+    graft.ops.GraftFunctions.register(spark)
+    val df = GeoJsonReader.read(spark, path)
+    df.select(
+      col("name"),
+      round(col("val") * 4).cast("long").as("val_q"),
+      when(col("flag"), 1L).otherwise(0L).as("flag01"),
+      call_function("st_geometrytype", col("geom")).as("gtype"),
+      call_function("st_npoints", col("geom")).as("npts"),
+      round(call_function("st_area", col("geom")) * 2).cast("long").as("area2"),
+      round(call_function("st_x", call_function("st_centroid", col("geom"))) * 4).cast("long").as("x4"),
+      round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
+  }
+
+  val geojsonOracle: String = valuesSql(
+    Seq("name", "val_q", "flag01", "gtype", "npts", "area2", "x4", "y4"),
+    geoFeats.map(f => Seq(lit(f.name), big(f.valQ), big(f.flag01), lit(f.gtype),
+      big(f.npts), big(f.area2), big(f.x4), big(f.y4))))
+
+  // ================= q41: Shapefile =================
+  /** 10 square polygons; DBF covers all four supported field types,
+    * including binary 'I' -> LongType (shapefile.rs:66-80) with a negative
+    * value, and 'N'/'C'/'L'. */
+  final case class ShpFeat(i: Int) {
+    val x: Int = i * 3 - 15
+    val y: Int = i * 2 - 10
+    val side: Int = 1 + i % 3
+    val cnt: Int = if (i == 3) -42 else 1000 + i * 7
+    val nm = s"r$i"
+    val ok: Boolean = i % 2 == 0
+    val v: Double = i * 0.5 // exact halves
+    def ring: Seq[(Double, Double)] = // clockwise (ESRI outer)
+      Seq((x, y), (x, y + side), (x + side, y + side), (x + side, y), (x, y))
+        .map { case (a, b) => (a.toDouble, b.toDouble) }
+    def npts: Long = 5L
+    def area2: Long = 2L * side * side
+    def x4: Long = 4L * x + 2L * side
+    def y4: Long = 4L * y + 2L * side
+    def vq2: Long = i
+    def ok01: Long = if (ok) 1L else 0L
+  }
+  val shpFeats: Seq[ShpFeat] = (0 until 10).map(ShpFeat)
+
+  def writeShapefile(dir: String): String = {
+    val shp = s"$dir/fix.shp"
+    FixtureWriters.writePolygonShp(shp, shpFeats.map(_.ring))
+    FixtureWriters.writeDbf(s"$dir/fix.dbf",
+      Seq(("cnt", 'I', 4), ("nm", 'C', 8), ("ok", 'L', 1), ("v", 'N', 9)),
+      shpFeats.map(f => Seq(f.cnt.toString, f.nm, if (f.ok) "T" else "F", f.v.toString)))
+    shp
+  }
+
+  def shapefileScanQuery(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q41")
+    val shp = writeShapefile(dir.toString)
+    graft.ops.GraftFunctions.register(spark)
+    val df = ShapefileReader.read(spark, shp)
+    df.select(
+      col("cnt"), // LongType straight from the binary 'I' field
+      col("nm"),
+      when(col("ok"), 1L).otherwise(0L).as("ok01"),
+      round(col("v") * 2).cast("long").as("vq2"),
+      call_function("st_npoints", col("geom")).as("npts"),
+      round(call_function("st_area", col("geom")) * 2).cast("long").as("area2"),
+      round(call_function("st_x", call_function("st_centroid", col("geom"))) * 4).cast("long").as("x4"),
+      round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
+  }
+
+  val shapefileOracle: String = valuesSql(
+    Seq("cnt", "nm", "ok01", "vq2", "npts", "area2", "x4", "y4"),
+    shpFeats.map(f => Seq(big(f.cnt), lit(f.nm), big(f.ok01), big(f.vq2),
+      big(f.npts), big(f.area2), big(f.x4), big(f.y4))))
+
+  // ================= q42: OSM PBF =================
+  // From-scratch encoder for the PUBLIC osmpbf format (mirror of
+  // OsmPbfReader's wire parsing): fileblock framing, zlib blob, string
+  // table, dense-node delta coding, plain Node messages, way ref deltas.
+  final case class PbfNode(id: Long, rawLon: Long, rawLat: Long, tags: Seq[(String, String)])
+  final case class PbfWay(id: Long, refs: Seq[Long], tags: Seq[(String, String)])
+
+  val pbfNodes: Seq[PbfNode] = (1 to 8).map(i =>
+    PbfNode(i, 70000000L + i * 1234567L, -30000000L + i * 2345678L, Seq("name" -> s"n$i")))
+  val pbfWays: Seq[PbfWay] = Seq(
+    PbfWay(10, Seq(1, 2, 3, 1), Seq("highway" -> "residential")), // closed, all resolve
+    PbfWay(11, Seq(4, 5, 6), Seq("waterway" -> "river", "name" -> "r1")), // open
+    PbfWay(12, Seq(6, 7, 99), Seq("highway" -> "path")), // ref 99 dangles -> dropped
+    PbfWay(13, Seq(8, 1, 2, 8), Seq("building" -> "yes"))) // closed
+
+  /** (way_id, kind, resolved npts, first tag) from the definition alone. */
+  val pbfExpected: Seq[(Long, String, Long, String)] = pbfWays.map { w =>
+    val nodeIds = pbfNodes.map(_.id).toSet
+    (w.id,
+      if (w.refs.head == w.refs.last) "Polygon" else "LineString",
+      w.refs.count(nodeIds).toLong,
+      w.tags.head._1 + "=" + w.tags.head._2)
+  }
+
+  /** Minimal protobuf wire writer. */
+  private final class PbOut {
+    private val bos = new ByteArrayOutputStream()
+    def varint(vIn: Long): PbOut = {
+      var v = vIn
+      while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      bos.write(v.toInt); this
+    }
+    def key(field: Int, wt: Int): PbOut = varint((field.toLong << 3) | wt)
+    def int(field: Int, v: Long): PbOut = { key(field, 0); varint(v) }
+    def bytes(field: Int, b: Array[Byte]): PbOut = { key(field, 2); varint(b.length); bos.write(b); this }
+    def str(field: Int, s: String): PbOut = bytes(field, s.getBytes("UTF-8"))
+    def packed(field: Int, vs: Seq[Long]): PbOut = {
+      val p = new PbOut; vs.foreach(p.varint); bytes(field, p.toBytes)
+    }
+    def packedZig(field: Int, vs: Seq[Long]): PbOut = packed(field, vs.map(zig))
+    def toBytes: Array[Byte] = bos.toByteArray
+  }
+  private def zig(n: Long): Long = (n << 1) ^ (n >> 63)
+  private def deltas(vs: Seq[Long]): Seq[Long] =
+    vs.headOption.toSeq ++ vs.sliding(2).collect { case Seq(a, b) => b - a }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One fileblock: [int32 BE header len][BlobHeader][Blob]. */
+  private def fileBlock(blobType: String, blobBody: Array[Byte]): Array[Byte] = {
+    val header = new PbOut().str(1, blobType).int(3, blobBody.length).toBytes
+    val out = ByteBuffer.allocate(4 + header.length + blobBody.length)
+    out.putInt(header.length).put(header).put(blobBody)
+    out.array()
+  }
+
+  def writePbf(path: String): Unit = {
+    // string table: index 0 must be the empty string
+    val strings = ("" +: (pbfNodes.flatMap(_.tags) ++ pbfWays.flatMap(_.tags))
+      .flatMap(t => Seq(t._1, t._2)).distinct).toIndexedSeq
+    val sIdx = strings.zipWithIndex.toMap
+    val st = new PbOut()
+    strings.foreach(s => st.bytes(1, s.getBytes("UTF-8")))
+
+    // group 1: DenseNodes for nodes 1-4 (delta-coded, keys_vals runs)
+    val dn = pbfNodes.take(4)
+    val dense = new PbOut()
+      .packedZig(1, deltas(dn.map(_.id)))
+      .packedZig(8, deltas(dn.map(_.rawLat)))
+      .packedZig(9, deltas(dn.map(_.rawLon)))
+      .packed(10, dn.flatMap(n =>
+        n.tags.flatMap(t => Seq(sIdx(t._1).toLong, sIdx(t._2).toLong)) :+ 0L))
+    val group1 = new PbOut().bytes(2, dense.toBytes)
+
+    // group 2: plain Node messages for nodes 5-8
+    val group2 = new PbOut()
+    pbfNodes.drop(4).foreach { n =>
+      val node = new PbOut()
+        .int(1, zig(n.id)) // Node.id is sint64
+        .packed(2, n.tags.map(t => sIdx(t._1).toLong))
+        .packed(3, n.tags.map(t => sIdx(t._2).toLong))
+        .int(8, zig(n.rawLat))
+        .int(9, zig(n.rawLon))
+      group2.bytes(1, node.toBytes)
+    }
+
+    // group 3: ways (refs delta-coded sint64)
+    val group3 = new PbOut()
+    pbfWays.foreach { w =>
+      val way = new PbOut()
+        .int(1, w.id) // Way.id is int64 (no zigzag)
+        .packed(2, w.tags.map(t => sIdx(t._1).toLong))
+        .packed(3, w.tags.map(t => sIdx(t._2).toLong))
+        .packedZig(8, deltas(w.refs))
+      group3.bytes(3, way.toBytes)
+    }
+
+    val block = new PbOut()
+      .bytes(1, st.toBytes)
+      .bytes(2, group1.toBytes)
+      .bytes(2, group2.toBytes)
+      .bytes(2, group3.toBytes)
+      .int(17, 100) // granularity (default, explicit for clarity)
+      .toBytes
+
+    val dataBlob = new PbOut().int(2, block.length).bytes(3, deflate(block)).toBytes
+    val headerBlob = new PbOut().bytes(1, Array.emptyByteArray).toBytes // raw, empty
+    val out = new ByteArrayOutputStream()
+    out.write(fileBlock("OSMHeader", headerBlob))
+    out.write(fileBlock("OSMData", dataBlob))
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+
+  def pbfScanQuery(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q42")
+    val path = s"$dir/fix.osm.pbf"
+    writePbf(path)
+    val df = OsmPbfReader.read(spark, path)
+    df.select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"),
+      element_at(col("tags"), 1).as("tag0"))
+  }
+
+  val pbfOracle: String = valuesSql(
+    Seq("way_id", "kind", "npts", "tag0"),
+    pbfExpected.map { case (id, kind, npts, tag0) =>
+      Seq(big(id), lit(kind), big(npts), lit(tag0)) })
+}

@@ -15,8 +15,10 @@ import graft.geom.ShapeDecode._
   * public (ESRI whitepaper).
   *
   * Reference semantics kept: DBF `N`(numeric)/`F`(float) -> DoubleType
-  * (FLOAT8), `C` -> StringType, `L` -> BooleanType; other field types
-  * unsupported and dropped with a warning (`shapefile.rs:111`); geometry
+  * (FLOAT8), `C` -> StringType, `L` -> BooleanType, `I`(binary int32 LE,
+  * dbase 7/FoxPro) -> LongType (the reference's `FieldValue::Integer ->
+  * INT8` wire type, `shapefile.rs:66-80`); other field types unsupported
+  * and dropped with a warning (`shapefile.rs:111`); geometry
   * decoded per [[ShapeDecode]] quirks; optional 4326<->3857 reproject per
   * row (P3); WKB appended as the LAST column named `geom` (P6/K1).
   * Documented deviation: attribute columns are emitted in LEXICOGRAPHIC
@@ -102,6 +104,7 @@ object ShapefileReader {
         case 'N' | 'F' => Some(StructField(f.name, DoubleType, nullable = true))
         case 'C'       => Some(StructField(f.name, StringType, nullable = true))
         case 'L'       => Some(StructField(f.name, BooleanType, nullable = true))
+        case 'I'       => Some(StructField(f.name, LongType, nullable = true))
         case other =>
           System.err.println(s"[shapefile] field '${f.name}' type '$other' not supported, dropped")
           None
@@ -111,15 +114,26 @@ object ShapefileReader {
     StructType(fields.sortBy(_.name) :+ StructField("geom", BinaryType, nullable = true))
   }
 
-  private def parseValue(raw: String, dt: DataType): Any = {
-    val s = raw.trim
-    if (s.isEmpty || s == "?") null
-    else dt match {
-      case DoubleType  => s.toDouble
-      case StringType  => s
-      case BooleanType => "TtYy".contains(s.head)
-      case _           => null
-    }
+  private def parseValue(raw: String, dt: DataType, colName: String): Any = dt match {
+    case LongType =>
+      // DBF 'I' is a BINARY little-endian int32; the bytes survive the
+      // ISO-8859-1 round trip in dbfRecords losslessly (1 byte <-> 1 char)
+      if (raw.length < 4) null
+      else ((raw.charAt(0) & 0xff) | (raw.charAt(1) & 0xff) << 8 |
+        (raw.charAt(2) & 0xff) << 16 | (raw.charAt(3) & 0xff) << 24).toLong
+    case _ =>
+      val s = raw.trim
+      if (s.isEmpty || s == "?") null
+      else try dt match {
+        case DoubleType  => s.toDouble
+        case StringType  => s
+        case BooleanType => "TtYy".contains(s.head)
+        case _           => null
+      } catch {
+        // malformed cell (e.g. text in a numeric DBF field): surface the
+        // reference's type-conflict taxonomy, not a bare NumberFormatException
+        case _: NumberFormatException => throw GraftError.MixedDataTypes(colName)
+      }
   }
 
   /** Executor-safe: parse one `.shp`+`.dbf` pair into Rows of `schema`. */
@@ -147,7 +161,7 @@ object ShapefileReader {
           g.geometryChanged()
           g
       }
-      Row.fromSeq(attrs.map(f => parseValue(rec(f.name), f.dataType)).toSeq :+
+      Row.fromSeq(attrs.map(f => parseValue(rec(f.name), f.dataType, f.name)).toSeq :+
         (if (projected == null) null else WkbCodec.write(projected)))
     }
   }
