@@ -186,6 +186,16 @@ object Oracles {
          |   ${score(TextStats.MarkersEs)} AS s_es FROM documents) t""".stripMargin.replace("\n", " ")
     },
 
+    // q33 = blocked equi-join + partial top-k agg; exact, so it is checked
+    // against the SAME brute-force oracle as q27
+    "q33_ann_topk_blocked" ->
+      s"""WITH $quantElsCte,
+         | dots AS (SELECT a.vec_id AS query_id, b.vec_id AS nn_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+         |   FROM els a JOIN els b ON a.i = b.i AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id GROUP BY 1, 2)
+         | SELECT query_id, rnk AS rank, nn_id, dot FROM (
+         |   SELECT query_id, nn_id, dot, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nn_id) AS rnk
+         |   FROM dots) WHERE rnk <= 5""".stripMargin.replace("\n", " "),
+
     "q27_ann_topk" ->
       s"""WITH $quantElsCte,
          | dots AS (SELECT a.vec_id AS query_id, b.vec_id AS nn_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot

@@ -123,6 +123,9 @@ object SparkEntry {
       Ann.topK(t(s, dir, "embeddings"), k = 5, qmod = 20)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("dot"))),
     "q28_lsh_neardup" -> ((s, dir) => Ann.lshNearDup(t(s, dir, "embeddings"))),
+    "q33_ann_topk_blocked" -> ((s, dir) =>
+      Ann.topKBlocked(t(s, dir, "embeddings"), k = 5, qmod = 20)
+        .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))),
     "q29_cosine_topk" -> ((s, dir) => Ann.cosineTopK(t(s, dir, "embeddings"), k = 5, qmod = 20)),
     "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
   )

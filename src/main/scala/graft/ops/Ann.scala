@@ -59,6 +59,33 @@ object Ann {
       .select("query_id", "rank", "nn_id", "dot")
   }
 
+  /** Exact top-k restructured for scale (the q27 shape fixed): the
+    * candidate pairing is a block EQUI-join — queries replicated to each of
+    * `blocks` block ids, candidates keyed by `nn_id % blocks` — so both
+    * sides shuffle-partition on the key (no BroadcastNestedLoopJoin, no
+    * requirement that the query side fit in a broadcast), and the top-k is
+    * a bounded-heap PARTIAL aggregate ([[TopKByScore]]) with map-side
+    * combine, so the final shuffle carries only heaps of k entries per
+    * (partition, query) instead of the Q×N scored rows a window would
+    * move. Same exact result as [[topK]] — hash-checked against the same
+    * brute-force DuckDB oracle (q33 vs q27). */
+  def topKBlocked(embeddings: DataFrame, k: Int, qmod: Int, blocks: Int = 32): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        explode(sequence(lit(0L), lit((blocks - 1).toLong))).as("blk"))
+    val cands = q.select(col("vec_id").as("nn_id"), col("q").as("cq"),
+      pmod(col("vec_id"), lit(blocks.toLong)).as("blk"))
+    val dots = queries.join(cands, Seq("blk"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dotCol(col("qq"), col("cq")).as("dot"))
+    dots.groupBy("query_id")
+      .agg(TopKByScore(col("dot"), col("nn_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.nn_id").as("nn_id"), col("s.score").as("dot"))
+  }
+
   // Random-hyperplane LSH: plane j weight for dim i is wji in {-1,0,1},
   // wji = ((i+1)*(j+3) mod 3) - 1 — deterministic, integer, oracle-friendly.
   val NumPlanes = 8

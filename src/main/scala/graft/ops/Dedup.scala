@@ -42,14 +42,26 @@ object Dedup {
   val tokensSqlFrom = // FROM-clause body over a corpus relation `c`
     "SELECT c.doc_id, unnest(list_filter(string_split(c.text, ' '), t -> t <> '')) AS tok FROM"
 
-  /** Oracle-parity vocab: tok -> dense 1-based rank in sorted order.
-    * (Window over one partition — fine for a vocab, which is tiny compared
-    * to the corpus; production path avoids it via xxhash64.) */
-  def vocab(tokens: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    tokens.select("tok").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+  /** Distributed dense ids: key -> 1-based rank in GLOBAL sorted order,
+    * computed without a single-partition window (the scale-killer at a
+    * 10^9-entry vocabulary). Two phases: range-partition + sort-within the
+    * distinct keys (each partition sorts only its key range), then assign
+    * contiguous ids from per-partition counts + cumulative offsets
+    * (zipWithIndex). Identical ids to `row_number() OVER (ORDER BY key)`,
+    * so the DuckDB oracle SQL is unchanged. */
+  def denseIds(keys: DataFrame, key: String): DataFrame = {
+    val spark = keys.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = keys.select(key).distinct()
+      .repartitionByRange(n, col(key)).sortWithinPartitions(key)
+    val indexed = sorted.rdd
+      .map(_.getString(0))
+      .zipWithIndex().map { case (k, i) => (k, i + 1) }
+    spark.createDataFrame(indexed).toDF(key, "tid")
   }
+
+  /** Oracle-parity vocab: tok -> dense 1-based rank in sorted order. */
+  def vocab(tokens: DataFrame): DataFrame = denseIds(tokens, "tok")
 
   // MinHash parameters: H hashes in B bands of R rows; h_i(t) = (A_i*t + B_i) mod P.
   // Multipliers must be of order P so products wrap — with small A_i every
@@ -67,7 +79,7 @@ object Dedup {
     tokenIds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  private def bandPairs(sigs: DataFrame): DataFrame = {
+  private[ops] def bandPairs(sigs: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     // one explode, NOT a union of per-band selects: Catalyst does not share
     // common subtrees across union branches, so the union form re-derived
     // the whole corpus->shingle->vocab->sig pipeline once per band
@@ -75,9 +87,22 @@ object Dedup {
       val key = concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val buckets = sigs
+    val all = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // heavy-hitter guard: a bucket of n docs emits n(n-1)/2 pairs — one hot
+    // bucket (boilerplate band key) can dominate the whole job at 100 TB.
+    // Cap = drop oversized buckets, log how many (they are near-useless for
+    // near-dup anyway: hot buckets are degenerate/boilerplate signatures).
+    val buckets = maxBucket match {
+      case None => all
+      case Some(cap) =>
+        val counts = all.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+        val nDropped = counts.filter(col("bsz") > cap).count()
+        if (nDropped > 0)
+          System.err.println(s"[dedup] dropped $nDropped LSH buckets larger than $cap docs")
+        all.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
+    }
     val a = buckets.as("a"); val bb = buckets.as("b")
     a.join(bb, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
       && col("a.doc_id") < col("b.doc_id"))
@@ -97,11 +122,7 @@ object Dedup {
   }
 
   /** Oracle-parity shingle ids: sh -> dense 1-based rank in sorted order. */
-  def shVocab(sh: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    sh.select("sh").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("sh")).cast("long"))
-  }
+  def shVocab(sh: DataFrame): DataFrame = denseIds(sh, "sh")
 
   /** MinHash-LSH candidate pairs over 3-shingles, oracle-parity ids. */
   def minhashPairs(corpus: DataFrame): DataFrame = {
@@ -110,11 +131,12 @@ object Dedup {
   }
 
   /** Production variant: shingle id = xxhash64(sh) mod P, no global
-    * dictionary — the 100 TB path (rows-only checked). */
-  def minhashPairsProd(corpus: DataFrame): DataFrame = {
+    * dictionary, heavy-hitter bucket cap on — the 100 TB path (rows-only
+    * checked; the oracle-parity path q21 stays uncapped + exact). */
+  def minhashPairsProd(corpus: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sh = shingled(corpus)
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("tid"))
-    bandPairs(minhashSig(sh))
+    bandPairs(minhashSig(sh), Some(maxBucket))
   }
 
   // SimHash: 16 planes; plane j contribution of a token = +1 if
@@ -138,9 +160,22 @@ object Dedup {
   }
 
   /** Word 3-shingle Jaccard near-dup pairs: candidates share >= 1 shingle;
-    * kept iff Jaccard >= 0.5, tested as exact integers (2*inter >= union). */
-  def jaccardPairs(corpus: DataFrame): DataFrame = {
-    val shs = shingled(corpus)
+    * kept iff Jaccard >= 0.5, tested as exact integers (2*inter >= union).
+    * @param maxShingleFreq heavy-hitter guard: shingles appearing in more
+    *   than this many docs are dropped from candidate generation (they make
+    *   the inverted-index join quadratic in-bucket and carry ~no Jaccard
+    *   signal); dropped count is logged. None (oracle parity) = no cap. */
+  def jaccardPairs(corpus: DataFrame, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val allSh = shingled(corpus)
+    val shs = maxShingleFreq match {
+      case None => allSh
+      case Some(cap) =>
+        val freq = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val nDropped = freq.filter(col("df") > cap).count()
+        if (nDropped > 0)
+          System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
+        allSh.join(freq.filter(col("df") <= cap).drop("df"), Seq("sh"))
+    }
     val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = shs.as("a"); val b = shs.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -29,6 +29,43 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(prod === Set((1L, 2L)))
   }
 
+  test("heavy-hitter guard: mega-bucket dropped from LSH candidates, small bucket kept") {
+    import spark.implicits._
+    // 30 identical docs -> one bucket of 30 per band; 2 similar docs -> small buckets
+    val hot = (1L to 30L).map(i => (i, "the fast key order sort table scan merge part"))
+    val pair = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+                   (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val d = docs(hot ++ pair: _*)
+    // uncapped: 30*29/2 hot pairs + 1
+    assert(Dedup.minhashPairsProd(d, maxBucket = 1000).count() === 30L * 29 / 2 + 1)
+    // capped at 10: hot bucket dropped, the small pair survives
+    val capped = Dedup.minhashPairsProd(d, maxBucket = 10).as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+  }
+
+  test("heavy-hitter guard: hot shingles dropped from jaccard candidate gen") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again"
+    val hot = (1L to 20L).map(i => (i, common))
+    val pair = Seq((100L, "one two three four five six seven"),
+                   (101L, "one two three four five six seven"))
+    val d = docs(hot ++ pair: _*)
+    val capped = Dedup.jaccardPairs(d, maxShingleFreq = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+    // uncapped still sees the hot block
+    assert(Dedup.jaccardPairs(d).count() === 20L * 19 / 2 + 1)
+  }
+
+  test("denseIds equals a global sort rank (distributed two-phase path)") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"k${(i * 37) % 250}%03d") // dups on purpose
+    val df = keys.toDF("tok")
+    val got = Dedup.denseIds(df, "tok").as[(String, Long)].collect().sortBy(_._2)
+    val exp = keys.distinct.sorted.zipWithIndex.map { case (k, i) => (k, i + 1L) }
+    assert(got.toSeq === exp.toSeq)
+  }
+
   test("simhash equal for identical docs, differs for disjoint vocab") {
     import spark.implicits._
     val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
@@ -65,6 +102,19 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
       }.toSeq.sorted.take(3).map(_._2)
       assert(rows.sortBy(_._2).map(_._3).toSeq === brute, s"query $q")
     }
+  }
+
+  test("blocked topK == brute-force topK; plan is an equi-join, no BNLJ") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val brute = Ann.topK(emb, k = 5, qmod = 20)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val blockedDf = Ann.topKBlocked(emb, k = 5, qmod = 20)
+    val blocked = blockedDf.as[(Long, Long, Long, Long)].collect().toSet
+    assert(blocked === brute)
+    val plan = blockedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan has BNLJ:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"partial top-k agg missing:\n$plan")
   }
 
   test("LSH near-dup finds planted duplicates with cos >= 0.5 predicate") {
