@@ -213,6 +213,7 @@ object Oracles {
          |   CASE WHEN hex(encode(left(htmlstr, 4))) = '3C68746D' THEN 'html' ELSE 'unknown' END AS kind
          | FROM pages""".stripMargin.replace("\n", " "),
 
+    "q32_media_decode" -> graft.sources.MediaSynth.oracleSql,
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
     "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,

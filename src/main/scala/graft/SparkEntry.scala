@@ -113,10 +113,16 @@ object SparkEntry {
     "q31_media_meta" -> ((s, dir) =>
       Media.sniff(WebPagesSynth.pages(s, dir), "html")
         .select("url", "n_bytes", "magic", "kind")),
+    // real header decode (PNG IHDR / JPEG SOF0) over synthesized spec-valid
+    // payloads; dims + kind recomputable by the oracle from doc_id alone
     "q32_media_decode" -> ((s, dir) =>
-      Media.decode(WebPagesSynth.pages(s, dir).select("url", "html"), "html")
-        .select(col("url"), col("media.width"), col("media.height"),
-          size(col("media.feature")).as("dim"))),
+      Media.decode(Media.sniff(sources.MediaSynth.blobs(s, dir), "payload"),
+          "payload", Media.HeaderDecoder)
+        .select(col("doc_id"),
+          col("media.width").cast("long").as("width"),
+          col("media.height").cast("long").as("height"),
+          col("media.channels").cast("long").as("channels"),
+          col("kind"))),
 
     // --- similarity search ---
     "q27_ann_topk" -> ((s, dir) =>

@@ -63,6 +63,66 @@ object Media {
       }
   }
 
+  /** REAL header decode in pure JVM (no media libs needed): PNG IHDR
+    * (width/height/bit-depth/color-type) and JPEG SOF0/1/2 marker walk
+    * (height/width/components). Payloads that are neither fall back to the
+    * stub's hash-derived dims; feature vectors stay stub-derived (a model
+    * embedding has no offline ground truth). */
+  object HeaderDecoder extends Decoder {
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: signature + first chunk must be IHDR at offset 8. */
+    def parsePng(b: Array[Byte]): Option[(Int, Int, Int)] =
+      if (b.length >= 33 && b.take(8).sameElements(PngSig) &&
+          new String(b, 12, 4, "ASCII") == "IHDR") {
+        val colorType = b(25) & 0xff
+        val channels = colorType match {
+          case 0 => 1 // grayscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette
+          case 4 => 2 // gray+alpha
+          case 6 => 4 // RGBA
+          case _ => 0
+        }
+        Some((be32(b, 16), be32(b, 20), channels))
+      } else None
+
+    /** JPEG: walk FF-marker segments from SOI to the first SOF0/1/2. */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          // [FF Cx][len 2][precision 1][height 2][width 2][ncomp 1]
+          if (i + 9 >= b.length) return None
+          return Some((be16(b, i + 7), be16(b, i + 5), b(i + 9) & 0xff))
+        } else if (marker == 0xd8 || marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone marker, no length
+        } else {
+          i += 2 + be16(b, i + 2) // skip segment body
+        }
+      }
+      None
+    }
+
+    override def decodeBatch(payloads: Array[Array[Byte]]): Array[MediaFeatures] = {
+      val stub = StubDecoder.decodeBatch(payloads) // deterministic features
+      payloads.zip(stub).map { case (b, s) =>
+        parsePng(b).orElse(parseJpeg(b)) match {
+          case Some((w, h, c)) => s.copy(width = w, height = h, channels = c)
+          case None => s
+        }
+      }
+    }
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -76,7 +136,9 @@ object Media {
     val outSchema = StructType(df.schema.fields :+
       StructField("media", featureSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    // typed mapPartitions (not df.rdd): stays a Dataset transform, so the
+    // encoder path and the surrounding plan (reuse, AQE) are preserved
+    df.mapPartitions { it =>
       decoder.open()
       val withClose = it.grouped(batchSize).flatMap { batch =>
         val rows = batch.toArray
@@ -90,7 +152,6 @@ object Media {
         override def hasNext: Boolean = { val h = withClose.hasNext; if (!h) decoder.close(); h }
         override def next(): Row = withClose.next()
       }
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

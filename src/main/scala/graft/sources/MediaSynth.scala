@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic binary media fixtures for the multimodal-column suite:
+  * REAL file formats (spec-complete PNGs that `javax.imageio` decodes, and
+  * JPEG SOF0 header skeletons), synthesized per row from `doc_id` with
+  * closed-form dimensions so the DuckDB oracle can recompute the expected
+  * width/height/channels from the `documents` table alone:
+  *
+  *   width  = 1 + doc_id % 64
+  *   height = 1 + (doc_id * 7) % 64
+  *   even doc_id -> PNG (RGB8, color type 2), odd -> JPEG (3-component SOF0)
+  */
+object MediaSynth {
+
+  def width(docId: Long): Int = (1 + docId % 64).toInt
+  def height(docId: Long): Int = (1 + (docId * 7) % 64).toInt
+
+  private def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(12 + body.length)
+    out.putInt(body.length)
+    val tb = typ.getBytes("ASCII")
+    out.put(tb).put(body)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(body)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(b); d.finish()
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Spec-complete 8-bit RGB PNG: signature, IHDR, IDAT (zlib of
+    * filter-0 rows, deterministic pixel bytes), IEND. */
+  def png(w: Int, h: Int): Array[Byte] = {
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type 2 = truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no interlace
+    val raw = new Array[Byte](h * (1 + w * 3)) // filter byte 0 + RGB per row
+    var i = 0
+    while (i < raw.length) { raw(i) = ((i * 31) & 0x7f).toByte; i += 1 }
+    var r = 0
+    while (r < h) { raw(r * (1 + w * 3)) = 0; r += 1 } // filter type 0
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(chunk("IHDR", ihdr.array()))
+    out.write(chunk("IDAT", deflate(raw)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** JPEG header skeleton: SOI, APP0/JFIF, SOF0 (baseline) with the real
+    * dimensions and 3 components, EOI. No scan data — enough for any
+    * header-level metadata extractor (the usual first pass in a media
+    * pipeline before full decode). */
+  def jpeg(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    b(0xff); b(0xd8) // SOI
+    // APP0 JFIF (forces the SOF walker to skip a variable segment first)
+    b(0xff); b(0xe0); b(0); b(16)
+    out.write("JFIF".getBytes("ASCII")); b(0)
+    b(1); b(1); b(0); b(0); b(1); b(0); b(1); b(0); b(0)
+    // SOF0: len 17, precision 8, height, width, 3 components
+    b(0xff); b(0xc0); b(0); b(17); b(8)
+    b(h >> 8); b(h & 0xff); b(w >> 8); b(w & 0xff); b(3)
+    for (c <- 1 to 3) { b(c); b(0x11); b(0) }
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** (doc_id, payload binary) — even doc_id PNG, odd JPEG. Payload built in
+    * a deterministic UDF (imperative byte assembly; not a hot analytic
+    * path — the decode side is the operator under test). */
+  def blobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val mk = udf((d: Long) =>
+      if (d % 2 == 0) png(width(d), height(d)) else jpeg(width(d), height(d)))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+  }
+
+  /** Oracle: expected dims recomputed from documents alone. */
+  val oracleSql: String =
+    """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width,
+      | CAST(1 + (doc_id * 7) % 64 AS BIGINT) AS height,
+      | CAST(3 AS BIGINT) AS channels,
+      | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind
+      | FROM documents""".stripMargin.replace("\n", " ")
+}

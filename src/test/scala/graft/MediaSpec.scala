@@ -50,6 +50,44 @@ class MediaSpec extends AnyFunSuite with SparkTest {
     assert(acc.value === 4)
   }
 
+  test("MediaSynth PNG is a REAL decodable PNG (javax.imageio golden)") {
+    val bytes = graft.sources.MediaSynth.png(17, 23)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO failed to decode the synthesized PNG")
+    assert(img.getWidth === 17 && img.getHeight === 23)
+  }
+
+  test("HeaderDecoder: PNG IHDR golden (dims, bit depth, channel map)") {
+    assert(Media.HeaderDecoder.parsePng(graft.sources.MediaSynth.png(640, 480))
+      === Some((640, 480, 3)))
+    // RGBA color type 6 -> 4 channels
+    val rgba = graft.sources.MediaSynth.png(4, 4).clone()
+    rgba(25) = 6
+    assert(Media.HeaderDecoder.parsePng(rgba).map(_._3) === Some(4))
+    assert(Media.HeaderDecoder.parsePng("nope".getBytes) === None)
+  }
+
+  test("HeaderDecoder: JPEG SOF0 marker walk skips APP0, reads dims") {
+    assert(Media.HeaderDecoder.parseJpeg(graft.sources.MediaSynth.jpeg(1920, 1080))
+      === Some((1920, 1080, 3)))
+    assert(Media.HeaderDecoder.parseJpeg(graft.sources.MediaSynth.png(4, 4)) === None)
+  }
+
+  test("decode with HeaderDecoder: real dims for png+jpeg, stub fallback otherwise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, graft.sources.MediaSynth.png(10, 20)),
+      (2L, graft.sources.MediaSynth.jpeg(30, 40)),
+      (3L, "not media".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Media.decode(df, "payload", Media.HeaderDecoder)
+      .select("id", "media.width", "media.height", "media.channels")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 10, 20, 3)))
+    assert(out(1) === ((2L, 30, 40, 3)))
+    assert(out(2)._1 === 3L) // stub dims, just present and deterministic
+    assert(out(2)._2 >= 1 && out(2)._3 >= 1)
+  }
+
   test("pages html sniffs as html and matches text length + wrapper") {
     val pages = WebPagesSynth.pages(spark, Sf)
     val out = Media.sniff(pages, "html").select("kind").distinct().collect()
