@@ -18,4 +18,8 @@ object GraftError {
   final case class InvalidMode(mode: String)
     extends GraftError(s"Invalid save mode: $mode (expected fail|overwrite|append)")
   final case class Format(msg: String) extends GraftError(msg)
+  /** North-rule extension (not in the reference taxonomy): a snapshot
+    * manifest CAS lost a concurrent-writer race — re-read `current`, retry. */
+  final case class ConcurrentCommit(table: String, snapshot: Long)
+    extends GraftError(s"Concurrent commit of snapshot $snapshot to $table lost the race")
 }

@@ -23,15 +23,21 @@ import graft.table.TableLog
   */
 object Main {
 
-  /** The whole pipeline minus session lifecycle (testable e2e). */
+  /** The whole pipeline minus session lifecycle (testable e2e).
+    * @param schema optional namespace dir (reference `--schema`,
+    *               `cli.rs:94-96` create_schema before create_table). */
   def run(spark: SparkSession, input: String, table: String,
           srid: Int = 4326, reproject: Option[Int] = None,
-          mode: String = "fail"): graft.table.TableLog.Snapshot = {
+          mode: String = "fail", schema: Option[String] = None): graft.table.TableLog.Snapshot = {
     val isPbf = input.toLowerCase.endsWith(".pbf")
     val effSrid = if (isPbf) 4326 else srid // reference forces 4326 for pbf
     // all three formats flow through the dispatch (validateArgs included)
     val df = SourceDispatch.read(spark, input, effSrid, reproject)
-    TableLog.write(df, table, mode, srid = reproject.getOrElse(effSrid))
+    val qualified = schema match {
+      case Some(ns) => TableLog.createNamespace(ns); s"$ns/$table"
+      case None => table
+    }
+    TableLog.write(df, qualified, mode, srid = reproject.getOrElse(effSrid))
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +59,7 @@ object Main {
                  else builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]")))
       .getOrCreate()
     try {
-      val snap = run(spark, input, table, srid, reproject, mode)
+      val snap = run(spark, input, table, srid, reproject, mode, opts.get("schema"))
       println(s"[graft] wrote snapshot ${snap.snapshot} of $table: " +
         s"${snap.buckets.values.map(_.rows).sum} rows, mode=$mode, srid=${snap.srid}")
     } finally spark.stop()

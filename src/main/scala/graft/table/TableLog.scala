@@ -46,6 +46,18 @@ object TableLog {
 
   def exists(table: String): Boolean = Files.exists(currentPtr(table))
 
+  /** Namespace analog of the reference's `CREATE SCHEMA IF NOT EXISTS`
+    * (K4, `/root/reference/src/pg/crud.rs:14-18`): a directory with a
+    * marker file; idempotent. Tables live under it as subdirectories. */
+  def createNamespace(path: String): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val marker = Paths.get(path, "_graft_namespace")
+    if (!Files.exists(marker)) Files.write(marker, Array.emptyByteArray)
+  }
+
+  def namespaceExists(path: String): Boolean =
+    Files.exists(Paths.get(path, "_graft_namespace"))
+
   def current(table: String): Option[Snapshot] =
     if (!exists(table)) None
     else {
@@ -54,15 +66,34 @@ object TableLog {
         new String(Files.readAllBytes(logDir(table).resolve(name)), "UTF-8")))
     }
 
-  /** Atomic commit: manifest to temp file, rename into place, then pointer
-    * to temp file, ATOMIC_MOVE over `_current`. */
+  /** Atomic commit with a compare-and-swap on the manifest: the snapshot
+    * file is created via hard link, which FAILS atomically if the manifest
+    * already exists — two drivers committing the same snapshot number race,
+    * exactly one wins, the loser gets [[graft.GraftError.ConcurrentCommit]]
+    * (re-read `current` and retry on a fresh base). A plain ATOMIC_MOVE
+    * would silently REPLACE on Linux, interleaving the two writers'
+    * timelines. The `_current` pointer flip stays a replacing atomic move:
+    * with the manifest CAS, only the winner reaches it. */
   def commit(table: String, snap: Snapshot): Unit = {
     Files.createDirectories(logDir(table))
     val name = f"v${snap.snapshot}%08d.json"
-    val tmp = logDir(table).resolve(s".$name.tmp")
+    val target = logDir(table).resolve(name)
+    // unique temp per writer: racing writers must not collide on the temp
+    val tmp = logDir(table).resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, Serialization.write(snap).getBytes("UTF-8"))
-    Files.move(tmp, logDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-    val ptmp = logDir(table).resolve("._current.tmp")
+    try {
+      try Files.createLink(target, tmp) // atomic fail-if-exists
+      catch {
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: best-effort check + atomic move
+          if (Files.exists(target)) throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw graft.GraftError.ConcurrentCommit(table, snap.snapshot)
+    } finally Files.deleteIfExists(tmp)
+    val ptmp = logDir(table).resolve(s"._current.${java.util.UUID.randomUUID()}.tmp")
     Files.write(ptmp, name.getBytes("UTF-8"))
     Files.move(ptmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -82,7 +113,12 @@ object TableLog {
         if (exists(table)) throw graft.GraftError.TableExists(table)
         writeBuckets(df.sparkSession, table, "fail", srid, Seq("all" -> df), base = None)
       case "overwrite" =>
-        writeBuckets(df.sparkSession, table, "overwrite", srid, Seq("all" -> df), base = None)
+        // continue the snapshot CHAIN with an emptied bucket map (do NOT
+        // restart numbering: a fresh base would re-commit v00000001.json
+        // over the existing manifest and corrupt the lineage after
+        // overwrite -> append -> overwrite)
+        val base = current(table).map(_.copy(buckets = Map.empty))
+        writeBuckets(df.sparkSession, table, "overwrite", srid, Seq("all" -> df), base)
       case "append" =>
         val base = current(table)
         val n = base.map(_.buckets.size).getOrElse(0)

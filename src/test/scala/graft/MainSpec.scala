@@ -66,6 +66,14 @@ class MainSpec extends AnyFunSuite with SparkTest {
       SourceDispatch.read(spark, monaco, srid = 9999))
   }
 
+  test("e2e: --schema creates the namespace and qualifies the table (K4)") {
+    assume(Files.exists(Paths.get(spain)))
+    val ns = s"$tmp/myschema"
+    Main.run(spark, spain, "spain_t", schema = Some(ns))
+    assert(TableLog.namespaceExists(ns))
+    assert(TableLog.read(spark, s"$ns/spain_t").count() === 19)
+  }
+
   test("e2e: shapefile through Main.run") {
     assume(Files.exists(Paths.get(andalucia)))
     val table = s"$tmp/andalucia"

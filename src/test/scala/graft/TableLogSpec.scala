@@ -60,6 +60,55 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
     assert(skipped3.length === 3 && written3.isEmpty)
   }
 
+  test("overwrite continues the snapshot chain: fail->append->overwrite->append lineage stays linear") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.write(Seq(1).toDF("v"), t, "fail")       // v1
+    TableLog.write(Seq(2).toDF("v"), t, "append")     // v2
+    val ow = TableLog.write(Seq(3).toDF("v"), t, "overwrite") // v3, NOT a restart at v1
+    assert(ow.snapshot === 3)
+    assert(ow.parent === Some(2))
+    assert(ow.buckets.keySet === Set("all")) // emptied base: only the new bucket
+    assert(TableLog.read(spark, t).count() === 1)
+    TableLog.write(Seq(4).toDF("v"), t, "append")     // v4
+    val snaps = TableLog.snapshots(t)
+    assert(snaps.map(_.snapshot) === Seq(1L, 2L, 3L, 4L)) // no duplicate/stale manifests
+    assert(TableLog.read(spark, t).count() === 2)
+  }
+
+  test("concurrent commits of the same snapshot number: exactly one wins (CAS)") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = TableLog.write(Seq(1).toDF("v"), t, "fail")
+    val snapA = base.copy(snapshot = base.snapshot + 1, parent = Some(base.snapshot), mode = "a")
+    val snapB = base.copy(snapshot = base.snapshot + 1, parent = Some(base.snapshot), mode = "b")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(snapA, snapB).map { s =>
+      new Thread(() => {
+        gate.await()
+        results.add(try Right(TableLog.commit(t, s)) catch { case e: Throwable => Left(e) })
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    assert(winners.size === 1, s"expected exactly one winner, got $results")
+    assert(losers.size === 1)
+    assert(losers.head.swap.toOption.get.isInstanceOf[GraftError.ConcurrentCommit])
+    // log is linear: exactly one v00000002 manifest, pointer valid
+    assert(TableLog.snapshots(t).map(_.snapshot) === Seq(1L, 2L))
+    assert(TableLog.current(t).get.snapshot === 2L)
+  }
+
+  test("createNamespace is idempotent and marks the dir (K4)") {
+    val ns = freshTable() + "_ns"
+    assert(!TableLog.namespaceExists(ns))
+    TableLog.createNamespace(ns)
+    TableLog.createNamespace(ns) // IF NOT EXISTS semantics
+    assert(TableLog.namespaceExists(ns))
+  }
+
   test("commit is atomic: _current always points at a complete manifest") {
     import spark.implicits._
     val t = freshTable()
