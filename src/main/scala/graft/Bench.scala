@@ -78,18 +78,24 @@ object Bench {
     // best-of-3 interleaved samples per level: this sandbox has co-tenant
     // CPU bursts (same command varies 2x run-to-run), so the min wall time
     // is the uncontended capability measurement. The 4-worker level needs
-    // 24 free cores vs 6, so contention biases AGAINST it — wait for a
-    // quiet window (1-min loadavg) before each sample, bounded at 2 min.
-    def awaitQuiet(): Unit = {
+    // 24 free cores vs 6, so contention biases AGAINST it. Two rules:
+    // (a) the 4-worker sample runs FIRST after each quiet wait — giving the
+    //     freshest quiet window to the level that needs the whole box (the
+    //     previous ordering ran 1-worker first, whose burst then kept the
+    //     1-min loadavg above threshold for the 4-worker sample);
+    // (b) the 1-worker sample uses a looser threshold (it needs 6 of 32
+    //     cores; a decaying loadavg from our own finished 4-worker burst is
+    //     not real contention).
+    def awaitQuiet(threshold: Double): Unit = {
       val t0 = System.currentTimeMillis()
       def load = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
-      try while (load > 2.0 && System.currentTimeMillis() - t0 < 120000) Thread.sleep(5000)
+      try while (load > threshold && System.currentTimeMillis() - t0 < 120000) Thread.sleep(5000)
       catch { case _: Throwable => () }
     }
     val samples = (1 to 3).flatMap { _ =>
-      Seq(1, 4).map { w =>
-        awaitQuiet()
+      Seq((4, 2.0), (1, 8.0)).map { case (w, thr) =>
+        awaitQuiet(thr)
         BenchCluster.run(workers = w, cores = wCores, repTotal = rep, sfDir = sfDir)
       }
     }

@@ -25,10 +25,14 @@ object PlanAudit {
       Pipeline.run(spark, sfDir))
     show("q13 pip join broadcast (expect: no shuffle before explode)")(
       SparkEntry.queries("q13_pip_join")(spark, sfDir))
-    show("q21 minhash (expect: partial aggs; single-partition window only on tiny vocab)")(
+    show("q21 minhash (expect: partial aggs; NO WindowExec anywhere — vocab rank is denseIds)")(
       SparkEntry.queries("q21_minhash_lsh")(spark, sfDir))
-    show("q27 ann topk (expect: broadcast of queries side)")(
+    show("q27 ann topk (expect: broadcast of queries side; declared brute-force baseline)")(
       SparkEntry.queries("q27_ann_topk")(spark, sfDir))
+    show("q33 ann topk blocked (expect: equi-join on blk, ObjectHashAggregate partial, no BNLJ)")(
+      SparkEntry.queries("q33_ann_topk_blocked")(spark, sfDir))
+    show("q34 ann topk multiprobe lsh (expect: equi-join on bucket)")(
+      SparkEntry.queries("q34_ann_topk_lsh")(spark, sfDir))
     spark.stop()
   }
 }

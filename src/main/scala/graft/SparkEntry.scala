@@ -132,6 +132,9 @@ object SparkEntry {
     "q33_ann_topk_blocked" -> ((s, dir) =>
       Ann.topKBlocked(t(s, dir, "embeddings"), k = 5, qmod = 20)
         .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))),
+    // approximate sublinear path (multiprobe LSH) — rows-only by design
+    "q34_ann_topk_lsh" -> ((s, dir) =>
+      Ann.topKLsh(t(s, dir, "embeddings"), k = 5, qmod = 20)),
     "q29_cosine_topk" -> ((s, dir) => Ann.cosineTopK(t(s, dir, "embeddings"), k = 5, qmod = 20)),
     "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
   )

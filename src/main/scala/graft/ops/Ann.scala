@@ -114,6 +114,37 @@ object Ann {
       .select("vec_a", "vec_b", "dot")
   }
 
+  /** Sublinear approximate top-k: multiprobe hyperplane LSH. Each query
+    * probes its own bucket plus every bucket within Hamming distance <=
+    * `probeRadius` of it (bit-flip masks exploded on the query side), so
+    * the candidate join is an EQUI-join on bucket touching only
+    * sum(C(NumPlanes,i), i<=r)/2^NumPlanes of the corpus (r=2 on 8 planes:
+    * 37/256 ~ 14%) instead of all N. Exact integer rerank + bounded-heap
+    * top-k ([[TopKByScore]]) within candidates. Approximate by design —
+    * rows-only checked; the recall contract that matters for dedup-style
+    * use (an identical/near-identical vector shares the bucket, so a
+    * planted duplicate is ALWAYS found) is unit-tested deterministically. */
+  def topKLsh(embeddings: DataFrame, k: Int, qmod: Int, probeRadius: Int = 2): DataFrame = {
+    val qb = withBucket(quantized(embeddings))
+    val masks = (0 until (1 << NumPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+      .map(_.toLong)
+    val cands = qb.select(col("vec_id").as("nn_id"), col("q").as("cq"), col("bucket"))
+    val queries = qb.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        explode(typedLit(masks)).as("mask"), col("bucket"))
+      .select(col("query_id"), col("qq"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    queries.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dotCol(col("qq"), col("cq")).as("dot"))
+      .groupBy("query_id")
+      .agg(TopKByScore(col("dot"), col("nn_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.nn_id").as("nn_id"), col("s.score").as("dot"))
+  }
+
   /** Production float-cosine top-k (order-dependent float sums — checked
     * rows-only, unit-tested for sanity, not DuckDB-hash-compared). */
   def cosineTopK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {

@@ -117,6 +117,23 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("ObjectHashAggregate"), s"partial top-k agg missing:\n$plan")
   }
 
+  test("multiprobe LSH topK: planted duplicate is ALWAYS rank 1; plan is equi-join") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val corpus = Ann.corpus(emb) // vec_id % 5 == 0 mirrored at +1000000
+    val df = Ann.topKLsh(corpus, k = 3, qmod = 10) // queries all have a mirror
+    val top1 = df.filter(col("rank") === 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    // identical vector => identical bucket => always a candidate => max dot
+    top1.foreach { case (q, nn) =>
+      assert(nn === q + 1000000L || nn === q - 1000000L,
+        s"query $q top-1 was $nn, expected its planted mirror")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan has BNLJ:\n$plan")
+  }
+
   test("LSH near-dup finds planted duplicates with cos >= 0.5 predicate") {
     import spark.implicits._
     val vecs = (0L to 9L).map(i => (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
