@@ -46,4 +46,31 @@ object SourceDispatch {
         OsmPbfReader.read(spark, path).select("tags", "geom")
     }
   }
+
+  /** Many files of ONE format under a directory -> one DataFrame, parsed
+    * on executors (the 100 TB ingest shape: files are the parallel unit;
+    * PBF additionally parallelizes per blob inside each file). Mixed
+    * formats in one dir are rejected — per-format schema rules differ. */
+  def readDir(spark: SparkSession, dir: String,
+              srid: Int = 4326, reproject: Option[Int] = None): DataFrame = {
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+      throw GraftError.FailedValidation(s"not a directory: $dir")
+    validateArgs(dir, srid, reproject)
+    import scala.jdk.CollectionConverters._
+    val kinds = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString)
+      .flatMap(p => scala.util.Try(determineFileType(p)).toOption.map(t => (t, p)))
+      .toSeq.groupBy(_._1)
+    kinds.keySet.toList match {
+      case Nil => throw GraftError.FailedValidation(s"no supported files under $dir")
+      case List(Shapefile) => ShapefileReader.readDir(spark, dir, srid, reproject)
+      case List(GeoJson)   => GeoJsonReader.readDir(spark, dir, srid, reproject)
+      case List(OsmPbf)    =>
+        kinds(OsmPbf).map(_._2).sorted
+          .map(p => OsmPbfReader.read(spark, p).select("tags", "geom"))
+          .reduce(_ unionAll _)
+      case many => throw GraftError.FailedValidation(
+        s"mixed formats under $dir: ${many.mkString(", ")}")
+    }
+  }
 }

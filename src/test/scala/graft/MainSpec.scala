@@ -74,6 +74,25 @@ class MainSpec extends AnyFunSuite with SparkTest {
     assert(TableLog.read(spark, s"$ns/spain_t").count() === 19)
   }
 
+  test("readDir: many geojson files union on executors; mixed formats rejected") {
+    val d = Files.createTempDirectory("graft-readdir")
+    graft.sources.FileFixtures.writeGeoJson(s"$d/a.geojson")
+    graft.sources.FileFixtures.writeGeoJson(s"$d/b.geojson")
+    val df = SourceDispatch.readDir(spark, d.toString)
+    assert(df.count() === 24) // 12 features x 2 files
+    graft.sources.FileFixtures.writeShapefile(d.toString) // adds fix.shp
+    assertThrows[GraftError.FailedValidation](SourceDispatch.readDir(spark, d.toString))
+  }
+
+  test("readDir: pbf files, per-blob parallel inside each file") {
+    val d = Files.createTempDirectory("graft-readdir-pbf")
+    graft.sources.FileFixtures.writePbf(s"$d/a.osm.pbf")
+    graft.sources.FileFixtures.writePbf(s"$d/b.osm.pbf")
+    val df = SourceDispatch.readDir(spark, d.toString)
+    assert(df.columns.toSeq === Seq("tags", "geom"))
+    assert(df.count() === 8) // 4 ways x 2 files
+  }
+
   test("e2e: shapefile through Main.run") {
     assume(Files.exists(Paths.get(andalucia)))
     val table = s"$tmp/andalucia"
