@@ -41,8 +41,10 @@ object Ann {
 
   val quantSqlExpr = "[CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) FOR x IN embedding]"
 
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  // native single-loop dot over UnsafeArrayData (VectorExpressions) — the
+  // zip_with/aggregate composition allocates an intermediate array and runs
+  // two interpreted lambdas per candidate pair, which dominates ANN queries
+  private def dotCol(a: Column, b: Column): Column = VectorExpressions.longDot(a, b)
 
   /** Exact top-k by integer dot (desc, id asc), query side = vec_id % qmod == 0,
     * self excluded. Output (query_id, rank, nn_id, dot). */
@@ -88,7 +90,12 @@ object Ann {
 
   // Random-hyperplane LSH: plane j weight for dim i is wji in {-1,0,1},
   // wji = ((i+1)*(j+3) mod 3) - 1 — deterministic, integer, oracle-friendly.
-  val NumPlanes = 8
+  // 12 planes = 4096 buckets: candidate pairs scale ~N^2/2^planes, and 8
+  // planes (256 buckets) made the bucket join the slowest bench query at
+  // sf0.1 (N=30k -> ~1.8M in-bucket pairs); identical vectors still share
+  // a bucket, so planted-duplicate recall is unaffected, and the oracle
+  // SQL is generated from this constant so both sides move together
+  val NumPlanes = 12
 
   private def planeSign(q: Column, j: Int): Column = {
     val proj = aggregate(
@@ -118,8 +125,8 @@ object Ann {
     * probes its own bucket plus every bucket within Hamming distance <=
     * `probeRadius` of it (bit-flip masks exploded on the query side), so
     * the candidate join is an EQUI-join on bucket touching only
-    * sum(C(NumPlanes,i), i<=r)/2^NumPlanes of the corpus (r=2 on 8 planes:
-    * 37/256 ~ 14%) instead of all N. Exact integer rerank + bounded-heap
+    * sum(C(NumPlanes,i), i<=r)/2^NumPlanes of the corpus (r=2 on 12
+    * planes: 79/4096 ~ 2%) instead of all N. Exact integer rerank + bounded-heap
     * top-k ([[TopKByScore]]) within candidates. Approximate by design —
     * rows-only checked; the recall contract that matters for dedup-style
     * use (an identical/near-identical vector shares the bucket, so a
@@ -150,8 +157,7 @@ object Ann {
   def cosineTopK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    def dot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def dot(a: Column, b: Column) = VectorExpressions.doubleDot(a, b) // same IEEE fold order
     val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val queries = n.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -31,6 +31,30 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("stream ingest into TableLog: per-batch bucket commits, resume adds only new batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ingest").toString
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    val q1 = graft.streaming.StreamIngest.ingest(in.toDF().toDF("id", "v"), table, ckpt)
+    q1.awaitTermination() // AvailableNow: drains and stops
+    assert(graft.table.TableLog.read(spark, table).count() === 2)
+    val bucketsAfter1 = graft.table.TableLog.current(table).get.buckets.keySet
+    assert(bucketsAfter1.forall(_.startsWith("batch-")))
+    // resume with the same checkpoint: only the NEW data becomes a bucket
+    in.addData((3L, "c"))
+    val q2 = graft.streaming.StreamIngest.ingest(in.toDF().toDF("id", "v"), table, ckpt)
+    q2.awaitTermination()
+    assert(graft.table.TableLog.read(spark, table).count() === 3)
+    val buckets2 = graft.table.TableLog.current(table).get.buckets
+    assert(buckets2.size === bucketsAfter1.size + 1)
+    // lineage recorded per batch
+    assert(buckets2.values.forall(_.rows >= 1))
+  }
+
   test("event-time sessionization: gap closes sessions, state times out") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
