@@ -214,6 +214,7 @@ object Oracles {
          | FROM pages""".stripMargin.replace("\n", " "),
 
     "q32_media_decode" -> graft.sources.MediaSynth.oracleSql,
+    "q35_token_count" -> TextStats.bpeTokensSql,
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
     "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,

@@ -42,6 +42,28 @@ object TextStats {
           .when(col("s_de") >= col("s_es"), "de").otherwise("es"))
   }
 
+  /** BPE-ish regex token counting: the pre-tokenizer split every byte-pair
+    * tokenizer starts from — letter runs | digit runs | single non-space
+    * symbol. Pure regexp column plan (codegen); the class-only patterns
+    * have identical semantics in Java regex and DuckDB's RE2, so the
+    * counts are oracle-checkable. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).cast("long").as("n_alpha"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_sym"))
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+      | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+      | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym
+      | FROM documents""".stripMargin.replace("\n", " ")
+
   /** Winnowing fingerprints: polynomial rolling hash over token windows of
     * `w`, keep the minimum hash of every `g`-window band (robust, order-
     * sensitive near-dup fingerprint). Rows-only checked (not SQL-friendly);

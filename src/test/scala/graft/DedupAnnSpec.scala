@@ -154,6 +154,16 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(l === ((7L, "en", 2L, 2L, 1L))) // tie en/de -> en precedence
   }
 
+  test("BPE-ish token counts: letter runs, digit runs, symbols") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world2 x-y: 3.14 don't")).toDF("doc_id", "text")
+    val r = graft.ops.TextStats.bpeTokens(d)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // tokens: hello|world|2|x|-|y|:|3|.|14|don|'|t -> 13 total,
+    // alpha: hello world x y don t =6, num: 2 3 14 =3, sym: - : . ' =4
+    assert(r === ((1L, 13L, 6L, 3L, 4L)))
+  }
+
   test("fingerprints deterministic and sensitive to token order") {
     import spark.implicits._
     val a = TextStats.fingerprints(docs((1L, "a b c d e f g h"))).as[(Long, Long)].collect().toSet
