@@ -109,6 +109,22 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
     assert(TableLog.namespaceExists(ns))
   }
 
+  test("bucketed tables: co-located join runs with NO Exchange on either side") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    graft.table.Bucketing.createDb(spark, "graftbuck", loc)
+    val pts = (1L to 1000L).map(i => (i % 64, i, s"p$i")).toDF("cell_id", "pt_id", "tag")
+    val polys = (1L to 200L).map(i => (i % 64, i)).toDF("cell_id", "poly_id")
+    graft.table.Bucketing.writeBucketed(pts, "graftbuck", "pts", 8, Seq("cell_id"))
+    graft.table.Bucketing.writeBucketed(polys, "graftbuck", "polys", 8, Seq("cell_id"))
+    val joined = graft.table.Bucketing.coLocatedJoin(spark, "graftbuck", "pts", "polys", Seq("cell_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"co-located join still shuffles:\n$plan")
+    // correctness: same result as the plain (shuffling) join
+    assert(joined.count() ===
+      pts.join(polys, "cell_id").count())
+  }
+
   test("commit is atomic: _current always points at a complete manifest") {
     import spark.implicits._
     val t = freshTable()
