@@ -140,7 +140,8 @@ object SparkEntry {
     "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
   )
 
-  /** DuckDB-runnable SQL for each query above; q26/q29/q30 intentionally
-    * omitted (hash-/float-order-dependent => rows-only check). */
+  /** DuckDB-runnable SQL for each query above; q26/q29/q30/q34 intentionally
+    * omitted (hash-/float-order-dependent or approximate-by-design =>
+    * rows-only check). 26 queries are oracle-checked. */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -36,9 +36,11 @@ object GeoJsonReader {
   private val mapper = new ObjectMapper()
 
   /** Column function: GeoJSON geometry string -> WKB binary (distributed
-    * path for geometry columns in big tables). */
+    * path for geometry columns in big tables). Backed by the native
+    * Catalyst expression (no ScalaUDF conversion layer). */
   def geomFromGeoJson(c: Column): Column =
-    udf((s: String) => if (s == null) null else WkbCodec.write(GeoJsonDecode.parse(s))).apply(c)
+    org.apache.spark.sql.GraftShim.column(
+      graft.ops.SqlFunctions.StGeomFromGeoJson(org.apache.spark.sql.GraftShim.expression(c)))
 
   def inferSchema(json: String): StructType = {
     val root = mapper.readTree(json)
