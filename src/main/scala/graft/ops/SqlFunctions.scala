@@ -137,6 +137,20 @@ object SqlFunctions {
     override def prettyName: String = "st_contains"
   }
 
+  /** Same semantics as [[StContains]]; produced by
+    * [[SpatialFilterPushdown]] AFTER the bbox pre-filter is injected, and
+    * deliberately not matched by that rule (fixed-point idempotence). */
+  case class StContainsExact(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      WkbCodec.read(a.asInstanceOf[Array[Byte]]).contains(
+        WkbCodec.read(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_contains_exact"
+  }
+
   case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType

@@ -81,4 +81,35 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(r.getDouble(8) === 5.0)
     assert(r.getBoolean(9) && r.getBoolean(10) && r.getBoolean(11))
   }
+
+  test("SpatialFilterPushdown: constant-polygon filter pushes a bbox into the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.{GraftShim => GS}
+    import graft.ops.{SpatialFilterPushdown, SqlFunctions}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown").toString
+    (1 to 1000).map(i => (i.toLong, (i % 20) - 5.0, ((i * 7) % 20) - 5.0))
+      .toDF("id", "lon", "lat").write.mode("overwrite").parquet(s"$dir/pts")
+    val pts = spark.read.parquet(s"$dir/pts")
+    val polyWkb = WkbCodec.write(WkbCodec.polygon(
+      Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))))
+    def containsCol = GS.column(SqlFunctions.StContains(Literal(polyWkb),
+      SqlFunctions.StPoint(GS.expression(col("lon")), GS.expression(col("lat")))))
+    val baseline = pts.filter(containsCol).select("id").as[Long].collect().sorted
+    val had = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = had :+ SpatialFilterPushdown
+    try {
+      val q = pts.filter(containsCol)
+      val plan = q.queryExecution.executedPlan.toString
+      // (the PushedFilters list is truncated in toString — assert the
+      // leading entries plus the per-column DataFilters)
+      assert(plan.contains("GreaterThanOrEqual(lon,0.0)") && plan.contains("LessThanOrEqual(lon,10.0)")
+        && plan.contains("GreaterThanOrEqual(lat,0.0)"),
+        s"bbox not pushed to scan:\n$plan")
+      assert(plan.contains("st_contains_exact"), "exact JTS check must remain")
+      assert(q.select("id").as[Long].collect().sorted.toSeq === baseline.toSeq)
+      assert(baseline.nonEmpty) // the test must actually select something
+    } finally spark.experimental.extraOptimizations = had
+  }
 }
