@@ -79,7 +79,8 @@ object Dedup {
     tokenIds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  private[ops] def bandPairs(sigs: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+  private[ops] def bandPairs(sigs: DataFrame, maxBucket: Option[Int] = None,
+                             logDrops: Boolean = false): DataFrame = {
     // one explode, NOT a union of per-band selects: Catalyst does not share
     // common subtrees across union branches, so the union form re-derived
     // the whole corpus->shingle->vocab->sig pipeline once per band
@@ -98,9 +99,11 @@ object Dedup {
       case None => all
       case Some(cap) =>
         val counts = all.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
-        val nDropped = counts.filter(col("bsz") > cap).count()
-        if (nDropped > 0)
-          System.err.println(s"[dedup] dropped $nDropped LSH buckets larger than $cap docs")
+        if (logDrops) { // opt-in: the count is its own job re-deriving `all`
+          val nDropped = counts.filter(col("bsz") > cap).count()
+          if (nDropped > 0)
+            System.err.println(s"[dedup] dropped $nDropped LSH buckets larger than $cap docs")
+        }
         all.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
     }
     val a = buckets.as("a"); val bb = buckets.as("b")
@@ -133,10 +136,11 @@ object Dedup {
   /** Production variant: shingle id = xxhash64(sh) mod P, no global
     * dictionary, heavy-hitter bucket cap on — the 100 TB path (rows-only
     * checked; the oracle-parity path q21 stays uncapped + exact). */
-  def minhashPairsProd(corpus: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def minhashPairsProd(corpus: DataFrame, maxBucket: Int = 1000,
+                       logDrops: Boolean = false): DataFrame = {
     val sh = shingled(corpus)
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("tid"))
-    bandPairs(minhashSig(sh), Some(maxBucket))
+    bandPairs(minhashSig(sh), Some(maxBucket), logDrops)
   }
 
   // SimHash: 16 planes; plane j contribution of a token = +1 if
@@ -165,15 +169,18 @@ object Dedup {
     *   than this many docs are dropped from candidate generation (they make
     *   the inverted-index join quadratic in-bucket and carry ~no Jaccard
     *   signal); dropped count is logged. None (oracle parity) = no cap. */
-  def jaccardPairs(corpus: DataFrame, maxShingleFreq: Option[Int] = None): DataFrame = {
+  def jaccardPairs(corpus: DataFrame, maxShingleFreq: Option[Int] = None,
+                   logDrops: Boolean = false): DataFrame = {
     val allSh = shingled(corpus)
     val shs = maxShingleFreq match {
       case None => allSh
       case Some(cap) =>
         val freq = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
-        val nDropped = freq.filter(col("df") > cap).count()
-        if (nDropped > 0)
-          System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
+        if (logDrops) { // opt-in: the count is its own job re-deriving allSh
+          val nDropped = freq.filter(col("df") > cap).count()
+          if (nDropped > 0)
+            System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
+        }
         allSh.join(freq.filter(col("df") <= cap).drop("df"), Seq("sh"))
     }
     val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))

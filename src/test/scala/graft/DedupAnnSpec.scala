@@ -39,7 +39,7 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     // uncapped: 30*29/2 hot pairs + 1
     assert(Dedup.minhashPairsProd(d, maxBucket = 1000).count() === 30L * 29 / 2 + 1)
     // capped at 10: hot bucket dropped, the small pair survives
-    val capped = Dedup.minhashPairsProd(d, maxBucket = 10).as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashPairsProd(d, maxBucket = 10, logDrops = true).as[(Long, Long)].collect().toSet
     assert(capped === Set((100L, 101L)))
   }
 
@@ -50,7 +50,7 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     val pair = Seq((100L, "one two three four five six seven"),
                    (101L, "one two three four five six seven"))
     val d = docs(hot ++ pair: _*)
-    val capped = Dedup.jaccardPairs(d, maxShingleFreq = Some(10))
+    val capped = Dedup.jaccardPairs(d, maxShingleFreq = Some(10), logDrops = true)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(capped === Set((100L, 101L)))
     // uncapped still sees the hot block
