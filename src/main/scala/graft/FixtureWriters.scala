@@ -64,6 +64,30 @@ object FixtureWriters {
       off += 8 + content.length
     }
     Files.write(Paths.get(path), b.array())
+    writeShx(path.dropRight(4) + ".shx", shapeType, records)
+  }
+
+  /** .shx index (mandatory companion per the ESRI spec): same 100-byte
+    * header, then per record [int32 BE content offset words][int32 BE
+    * content length words] — what lets a reader seek to record i without
+    * scanning, and the split-planning input for the DataSource V2 reader. */
+  private def writeShx(path: String, shapeType: Int, records: Seq[Array[Byte]]): Unit = {
+    val totalBytes = 100 + 8 * records.length
+    val b = ByteBuffer.allocate(totalBytes)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, totalBytes / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000)
+    b.putInt(32, shapeType)
+    var contentOff = 100 + 8 // first record's CONTENT offset (after its header)
+    records.zipWithIndex.foreach { case (content, i) =>
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(100 + 8 * i, contentOff / 2)
+      b.putInt(100 + 8 * i + 4, content.length / 2)
+      contentOff += content.length + 8
+    }
+    Files.write(Paths.get(path), b.array())
   }
 
   /** dBase .dbf with Numeric/Character/Logical/Integer fields.

@@ -60,6 +60,23 @@ object Oracles {
        |els AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS i FROM quant)"""
       .stripMargin.replace("\n", " ")
 
+  /** MinHash-LSH candidate pairs as CTEs over `tt` (from [[corpusShCte]]);
+    * final relation `mh_pairs(doc_a, doc_b)`. Shared by q21 and q36. */
+  val minhashPairsCtes: String = {
+    val mins = (0 until Dedup.NumHashes).map(i =>
+      s"min((tid * ${Dedup.HashA(i)} + ${Dedup.HashB(i)}) % ${Dedup.P}) AS m$i").mkString(", ")
+    val bands = (0 until Dedup.Bands).map { b =>
+      val key = (0 until Dedup.RowsPerBand).map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT $b AS band, $key AS bkey, doc_id FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""sigs AS (SELECT doc_id, $mins FROM tt GROUP BY doc_id),
+       | buckets AS ($bands),
+       | mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM buckets a
+       |   JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   // ---- per-query SQL ----
   val sql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
@@ -130,21 +147,22 @@ object Oracles {
          | SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
          | FROM corpus GROUP BY md5(text)""".stripMargin.replace("\n", " "),
 
-    "q21_minhash_lsh" -> {
-      val mins = (0 until Dedup.NumHashes).map(i =>
-        s"min((tid * ${Dedup.HashA(i)} + ${Dedup.HashB(i)}) % ${Dedup.P}) AS m$i").mkString(", ")
-      val bands = (0 until Dedup.Bands).map { b =>
-        val key = (0 until Dedup.RowsPerBand).map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"SELECT $b AS band, $key AS bkey, doc_id FROM sigs"
-      }.mkString(" UNION ALL ")
-      s"""WITH $corpusShCte,
-         | sigs AS (SELECT doc_id, $mins FROM tt GROUP BY doc_id),
-         | buckets AS ($bands)
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM buckets a
-         | JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
-        .stripMargin.replace("\n", " ")
-    },
+    "q21_minhash_lsh" ->
+      s"""WITH $corpusShCte, $minhashPairsCtes
+         | SELECT doc_a, doc_b FROM mh_pairs""".stripMargin.replace("\n", " "),
+
+    // connected components over the q21 pair graph: DuckDB side = recursive
+    // transitive closure (fine at oracle scale); Spark side = O(log n)
+    // large-star/small-star rounds (closure materialization would be
+    // quadratic at 100 TB)
+    "q36_dedup_components" ->
+      s"""WITH RECURSIVE $corpusShCte, $minhashPairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+         |   UNION SELECT doc_b AS u, doc_a AS v FROM mh_pairs),
+         | reach AS (SELECT u, v FROM edges
+         |   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         | SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
+         | FROM reach GROUP BY u""".stripMargin.replace("\n", " "),
 
     "q22_simhash" -> {
       val sums = (0 until Dedup.Planes).map(j =>
@@ -217,6 +235,7 @@ object Oracles {
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
+    "q43_shapefile_dsv2" -> graft.sources.FileFixtures.shapefileOracle,
     "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,
 
     "q28_lsh_neardup" ->

@@ -98,6 +98,9 @@ object SparkEntry {
     "q21_minhash_lsh" -> ((s, dir) => Dedup.minhashPairs(Dedup.corpus(s, dir))),
     "q22_simhash" -> ((s, dir) => Dedup.simhash(Dedup.corpus(s, dir))),
     "q23_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Dedup.corpus(s, dir))),
+    // near-dup pairs -> transitive cluster label per doc (large/small-star CC)
+    "q36_dedup_components" -> ((s, dir) =>
+      Dedup.components(Dedup.minhashPairs(Dedup.corpus(s, dir)))),
     "q24_text_stats" -> ((s, dir) => TextStats.stats(t(s, dir, "documents"))),
     "q25_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
@@ -109,6 +112,8 @@ object SparkEntry {
     "q40_geojson_scan" -> ((s, _) => sources.FileFixtures.geojsonScanQuery(s)),
     "q41_shapefile_scan" -> ((s, _) => sources.FileFixtures.shapefileScanQuery(s)),
     "q42_pbf_scan" -> ((s, _) => sources.FileFixtures.pbfScanQuery(s)),
+    // same shapefile fixture through the split DataSource V2 scan
+    "q43_shapefile_dsv2" -> ((s, _) => sources.FileFixtures.shapefileScanQueryV2(s)),
 
     // --- multimodal binary columns ---
     "q31_media_meta" -> ((s, dir) =>

@@ -97,15 +97,21 @@ object Ann {
   // SQL is generated from this constant so both sides move together
   val NumPlanes = 12
 
-  private def planeSign(q: Column, j: Int): Column = {
+  /** Composable reference form of one plane's sign bit — kept as the spec
+    * for [[VectorExpressions.hyperplaneBucket]] (unit-tested equal), which
+    * walks the array once for ALL planes instead of twice per plane. */
+  private[graft] def planeSign(q: Column, j: Int): Column = {
     val proj = aggregate(
       zip_with(q, sequence(lit(1), size(q)), (x, i) => x * ((i * (j + 3)) % 3 - 1)),
       lit(0L), (acc, v) => acc + v)
     when(proj > 0, lit(1L << j)).otherwise(lit(0L))
   }
 
+  private[graft] def bucketReference(q: Column): Column =
+    (0 until NumPlanes).map(j => planeSign(q, j)).reduce(_ + _)
+
   def withBucket(quant: DataFrame): DataFrame =
-    quant.withColumn("bucket", (0 until NumPlanes).map(j => planeSign(col("q"), j)).reduce(_ + _))
+    quant.withColumn("bucket", VectorExpressions.hyperplaneBucket(col("q"), NumPlanes))
 
   /** LSH-bucketed near-dup pairs: same bucket AND cos >= 0.5 (exact integer
     * predicate). Output (vec_a, vec_b, dot). */

@@ -163,6 +163,68 @@ object Dedup {
     agg.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** Connected components over near-dup pairs — the step a dedup pipeline
+    * needs AFTER pair generation: group transitively-linked docs into one
+    * cluster and pick a canonical keeper (the min doc_id) per cluster.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    * in O(log^2 n) rounds on ANY graph shape (a naive min-label
+    * propagation needs O(diameter) rounds; dedup chains a->b->c->... make
+    * that unbounded). Every round is a groupBy + join (shuffle-on-key,
+    * map-side combinable); the driver loop carries only a convergence
+    * checksum, never rows. `localCheckpoint` truncates the growing
+    * lineage each round (on a real cluster use a reliable checkpoint dir).
+    *
+    * Output: (doc_id, component) for every doc that appears in a pair;
+    * component = min doc_id reachable. */
+  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      sym.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct()
+    }
+    // small-star: direct edges large->small; all smaller neighbors and the
+    // node itself link to m = min(N(u) ∪ {u}) (= min neighbor, all < u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mn = dir.groupBy("u").agg(min(col("v")).as("mn"))
+      dir.join(mn, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionAll(mn.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+    var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // order-independent, overflow-free (ANSI mode) edge-set fingerprint
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    // converged edge set = stars centered at each component's min id:
+    // members point at the center; the center labels itself
+    val members = e.select(col("u").as("doc_id"), col("v").as("component"))
+    val centers = e.select(col("v").as("doc_id")).distinct()
+      .join(e.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    members.unionAll(centers)
+  }
+
   /** Word 3-shingle Jaccard near-dup pairs: candidates share >= 1 shingle;
     * kept iff Jaccard >= 0.5, tested as exact integers (2*inter >= union).
     * @param maxShingleFreq heavy-hitter guard: shingles appearing in more

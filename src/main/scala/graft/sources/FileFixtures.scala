@@ -123,11 +123,7 @@ object FileFixtures {
     shp
   }
 
-  def shapefileScanQuery(spark: SparkSession): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q41")
-    val shp = writeShapefile(dir.toString)
-    graft.ops.GraftFunctions.register(spark)
-    val df = ShapefileReader.read(spark, shp)
+  private def shpProjection(df: DataFrame): DataFrame =
     df.select(
       col("cnt"), // LongType straight from the binary 'I' field
       col("nm"),
@@ -137,6 +133,22 @@ object FileFixtures {
       round(call_function("st_area", col("geom")) * 2).cast("long").as("area2"),
       round(call_function("st_x", call_function("st_centroid", col("geom"))) * 4).cast("long").as("x4"),
       round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
+
+  def shapefileScanQuery(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q41")
+    val shp = writeShapefile(dir.toString)
+    graft.ops.GraftFunctions.register(spark)
+    shpProjection(ShapefileReader.read(spark, shp))
+  }
+
+  /** Same fixture and oracle through the SPLIT DataSource V2 path (q43):
+    * splitBytes tiny so the 10-record file fans out to multiple input
+    * partitions — the scan itself must reassemble the identical table. */
+  def shapefileScanQueryV2(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q43")
+    val shp = writeShapefile(dir.toString)
+    graft.ops.GraftFunctions.register(spark)
+    shpProjection(spark.read.format("shapefile").option("splitBytes", "256").load(shp))
   }
 
   val shapefileOracle: String = valuesSql(

@@ -80,7 +80,7 @@ object ShapefileReader {
     out.toSeq
   }
 
-  private def parseShape(c: ByteBuffer): Shape = c.getInt(0) match {
+  private[sources] def parseShape(c: ByteBuffer): Shape = c.getInt(0) match {
     case 0 => SNull
     case 1 => SPoint(c.getDouble(4), c.getDouble(12))
     case t @ (3 | 5) =>
@@ -114,7 +114,7 @@ object ShapefileReader {
     StructType(fields.sortBy(_.name) :+ StructField("geom", BinaryType, nullable = true))
   }
 
-  private def parseValue(raw: String, dt: DataType, colName: String): Any = dt match {
+  private[sources] def parseValue(raw: String, dt: DataType, colName: String): Any = dt match {
     case LongType =>
       // DBF 'I' is a BINARY little-endian int32; the bytes survive the
       // ISO-8859-1 round trip in dbfRecords losslessly (1 byte <-> 1 char)
@@ -136,6 +136,18 @@ object ShapefileReader {
       }
   }
 
+  /** In-place 4326<->3857 reprojection of every coordinate (P3). */
+  private[sources] def projectInPlace(g: org.locationtech.jts.geom.Geometry,
+                                      fromSrid: Int, to: Int): Unit = {
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val (x, y) = Mercator.transform(c.x, c.y, fromSrid, to)
+        c.x = x; c.y = y
+      }
+    })
+    g.geometryChanged()
+  }
+
   /** Executor-safe: parse one `.shp`+`.dbf` pair into Rows of `schema`. */
   def parseFileRows(shpPath: String, schema: StructType,
                     fromSrid: Int, reproject: Option[Int]): Seq[Row] = {
@@ -151,15 +163,7 @@ object ShapefileReader {
       val geom = ShapeDecode.toGeometry(shape)
       val projected = (geom, reproject) match {
         case (null, _) | (_, None) => geom
-        case (g, Some(to)) =>
-          g.apply(new org.locationtech.jts.geom.CoordinateFilter {
-            override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
-              val (x, y) = Mercator.transform(c.x, c.y, fromSrid, to)
-              c.x = x; c.y = y
-            }
-          })
-          g.geometryChanged()
-          g
+        case (g, Some(to)) => projectInPlace(g, fromSrid, to); g
       }
       Row.fromSeq(attrs.map(f => parseValue(rec(f.name), f.dataType, f.name)).toSeq :+
         (if (projected == null) null else WkbCodec.write(projected)))

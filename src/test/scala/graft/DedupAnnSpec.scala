@@ -66,6 +66,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("connected components: chain, triangle, 2-cluster, singleton-pair == union-find") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (tests O(diameter) hazard), triangle 10-11-12 with a
+    // redundant edge, pair 20-21, plus cross-component ordering noise
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val rows = Dedup.components(pairs).as[(Long, Long)].collect()
+    assert(rows.length === rows.toMap.size, "a doc got two component labels")
+    val got = rows.toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got === want)
+    assert(got.values.toSet === Set(1L, 10L, 20L))
+  }
+
   test("simhash equal for identical docs, differs for disjoint vocab") {
     import spark.implicits._
     val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
@@ -132,6 +151,17 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     }
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan has BNLJ:\n$plan")
+  }
+
+  test("native hyperplane bucket == composable per-plane reference form") {
+    import spark.implicits._
+    val q = Ann.quantized(spark.read.parquet(s"$Sf/embeddings.parquet"))
+    val both = q.select(
+      graft.ops.VectorExpressions.hyperplaneBucket(col("q"), Ann.NumPlanes).as("native"),
+      Ann.bucketReference(col("q")).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() === 0L)
+    // and the buckets actually spread (not all one value)
+    assert(both.select("native").distinct().count() > 1L)
   }
 
   test("LSH near-dup finds planted duplicates with cos >= 0.5 predicate") {

@@ -183,4 +183,44 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
       Seq(("x", DoubleType), ("y", DoubleType), ("geom", BinaryType)))
   }
+
+  // ---- DataSource V2 shapefile (split scan) ----
+  private def rowsKey(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("geom_md5", md5(col("geom"))).drop("geom")
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  test("DSv2 shapefile: tiny splits -> many partitions, identical rows to driver reader") {
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    val shp = graft.sources.FileFixtures.writeShapefile(dir)
+    val v1 = ShapefileReader.read(spark, shp)
+    val v2 = spark.read.format("shapefile").option("splitBytes", "128").load(shp)
+    assert(v2.schema === v1.schema)
+    assert(v2.rdd.getNumPartitions > 1, "expected the 10-record file to split")
+    assert(rowsKey(v2) === rowsKey(v1))
+    // single wide split degenerates to one partition, same rows
+    val one = spark.read.format("shapefile").load(shp)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(rowsKey(one) === rowsKey(v1))
+  }
+
+  test("DSv2 shapefile: reproject option matches driver reader reprojection") {
+    val dir = Files.createTempDirectory("graft-dsv2r").toString
+    val shp = graft.sources.FileFixtures.writeShapefile(dir)
+    val v1 = ShapefileReader.read(spark, shp, 4326, Some(3857))
+    val v2 = spark.read.format("shapefile")
+      .option("splitBytes", "128").option("reproject", "3857").load(shp)
+    assert(rowsKey(v2) === rowsKey(v1))
+  }
+
+  test("DSv2 shapefile: pruning geom never opens the .shp (deleted file, attrs still read)") {
+    val dir = Files.createTempDirectory("graft-dsv2p").toString
+    val shp = graft.sources.FileFixtures.writeShapefile(dir)
+    Files.delete(Paths.get(shp)) // .shx + .dbf remain — enough for attr-only scans
+    val df = spark.read.format("shapefile").option("splitBytes", "128").load(shp)
+      .select("nm", "cnt")
+    assert(df.collect().map(_.mkString("|")).sorted.toSeq ===
+      graft.sources.FileFixtures.shpFeats.map(f => s"${f.nm}|${f.cnt}").sorted)
+  }
 }
