@@ -141,12 +141,16 @@ object SparkEntry {
     // approximate sublinear path (multiprobe LSH) — rows-only by design
     "q34_ann_topk_lsh" -> ((s, dir) =>
       Ann.topKLsh(t(s, dir, "embeddings"), k = 5, qmod = 20)),
+    // approximate IVF path (k-means coarse quantizer) — rows-only by design
+    "q44_ann_topk_ivf" -> ((s, dir) =>
+      Ann.topKIvf(t(s, dir, "embeddings"), k = 5, qmod = 20)),
     "q29_cosine_topk" -> ((s, dir) => Ann.cosineTopK(t(s, dir, "embeddings"), k = 5, qmod = 20)),
     "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
   )
 
-  /** DuckDB-runnable SQL for each query above; q26/q29/q30/q34 intentionally
-    * omitted (hash-/float-order-dependent or approximate-by-design =>
-    * rows-only check). 26 queries are oracle-checked. */
+  /** DuckDB-runnable SQL for each query above; q26/q29/q30/q34/q44
+    * intentionally omitted (hash-/float-order-dependent or
+    * approximate-by-design => rows-only check). 28 queries are
+    * oracle-checked. */
   def oracleSql: Map[String, String] = Oracles.sql
 }

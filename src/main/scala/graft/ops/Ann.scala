@@ -158,6 +158,85 @@ object Ann {
         col("s.nn_id").as("nn_id"), col("s.score").as("dot"))
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Deterministic Lloyd k-means over the quantized vectors, pure DataFrame
+    * ops: init = the `nlist` lowest vec_ids (reproducible, no RNG), then
+    * `iters` rounds of assign (crossJoin with the BROADCAST centroid table,
+    * argmin d2 via min(struct)) + recompute (posexplode dims, avg per
+    * (cid, dim), reassemble with sort_array). Centroids are collected to
+    * the driver each round — nlist rows of 64 doubles, a dim-table build,
+    * which also resets the iteration lineage (no exponentially growing
+    * plan). d2 uses the native [[DoubleDot]]: d2 = vv - 2·v·c + cc.
+    * Returns (cid, c: Array[Double], cc). */
+  private[graft] def kmeansCentroids(vecs: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def centDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF("cid", "c")
+        .withColumn("cc", VectorExpressions.doubleDot(col("c"), col("c")))
+    var cents = centDf(
+      vecs.orderBy("vec_id").limit(nlist).select(col("vec_id"), col("v"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq)
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(vecs, cents)
+      val recomputed = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("cx"))
+        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("a"))
+        .select(col("cid"), transform(col("a"), s => s.getField("cx")).as("c"))
+        .as[(Long, Seq[Double])].collect().toMap
+      // an emptied cell keeps its previous centroid
+      cents = centDf(cents.select(col("cid"), col("c")).as[(Long, Seq[Double])]
+        .collect().toSeq.map { case (cid, c) => (cid, recomputed.getOrElse(cid, c)) })
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment; deterministic tie-break by (d2, cid). */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(vecs.columns.map(col) :+ col("cid") :+
+        (col("vv") - lit(2.0) * VectorExpressions.doubleDot(col("v"), col("c")) + col("cc")).as("d2"): _*)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("v")).as("v"), first(col("vv")).as("vv"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("v"), col("vv"), col("q"), col("m.cid").as("cid"))
+
+  /** IVF approximate top-k: k-means coarse quantizer (the "index build"),
+    * candidates = the query's `nprobe` nearest cells, exact integer-dot
+    * rerank + bounded-heap top-k. The candidate join is an EQUI-join on
+    * cell id touching ~nprobe/nlist of the corpus — with per-cell heavy
+    * skew handled by the same bounded-heap partial agg as the LSH path.
+    * Approximate by design => rows-only checked; the deterministic recall
+    * contract (an identical planted vector shares the nearest cell, so a
+    * mirror is ALWAYS found at rank 1) is unit-tested. */
+  def topKIvf(embeddings: DataFrame, k: Int, qmod: Int, nlist: Int = 16,
+              nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    val vecs = quantized(embeddings).select(col("vec_id"), col("q"),
+        transform(col("q"), _.cast("double")).as("v"))
+      .withColumn("vv", VectorExpressions.doubleDot(col("v"), col("v")))
+    val cents = kmeansCentroids(vecs, nlist, iters)
+    val cands = assignCells(vecs, cents)
+      .select(col("vec_id").as("nn_id"), col("q").as("cq"), col("cid"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("d2"), col("cid"))
+    val queries = vecs.filter(col("vec_id") % qmod === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cid"),
+        (col("vv") - lit(2.0) * VectorExpressions.doubleDot(col("v"), col("c")) + col("cc")).as("d2"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select("query_id", "qq", "cid")
+    queries.join(cands, Seq("cid"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), dotCol(col("qq"), col("cq")).as("dot"))
+      .groupBy("query_id")
+      .agg(TopKByScore(col("dot"), col("nn_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.nn_id").as("nn_id"), col("s.score").as("dot"))
+  }
+
   /** Production float-cosine top-k (order-dependent float sums — checked
     * rows-only, unit-tested for sanity, not DuckDB-hash-compared). */
   def cosineTopK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {

@@ -153,6 +153,24 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan has BNLJ:\n$plan")
   }
 
+  test("IVF topK: planted duplicate is ALWAYS rank 1; no corpus-wide cartesian") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val corpus = Ann.corpus(emb) // vec_id % 5 == 0 mirrored at +1000000
+    val df = Ann.topKIvf(corpus, k = 3, qmod = 10)
+    val top1 = df.filter(col("rank") === 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    // identical vector => identical nearest cell => always a candidate => max dot
+    top1.foreach { case (q, nn) =>
+      assert(nn === q + 1000000L || nn === q - 1000000L,
+        s"query $q top-1 was $nn, expected its planted mirror")
+    }
+    // the corpus-side candidate pairing must be the cid equi-join; the only
+    // nested-loop join allowed is the 16-row broadcast centroid assign
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("native hyperplane bucket == composable per-plane reference form") {
     import spark.implicits._
     val q = Ann.quantized(spark.read.parquet(s"$Sf/embeddings.parquet"))
