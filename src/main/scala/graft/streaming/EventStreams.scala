@@ -25,6 +25,19 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup over a `(doc_id, ts, text)` document stream:
+    * keep the FIRST occurrence of each content hash; duplicates arriving
+    * within the watermark window are dropped and the hash state is evicted
+    * once the watermark passes (`dropDuplicatesWithinWatermark`), so state
+    * stays bounded — the streaming counterpart of [[graft.ops.Dedup.exact]]
+    * for continuous ingest, where a batch-global dedup would mean unbounded
+    * state. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .dropDuplicatesWithinWatermark("text_hash")
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, total: Double)

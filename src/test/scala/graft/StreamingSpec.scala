@@ -78,6 +78,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first occurrence kept, in-watermark dupes dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupStream(in.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      in.addData((1L, ts(100), "alpha"), (2L, ts(110), "beta"), (3L, ts(120), "alpha"))
+      q.processAllAvailable()
+      in.addData((4L, ts(130), "alpha"), (5L, ts(140), "gamma")) // dupe across batches
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM streamdedup ORDER BY doc_id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+
   test("same windowed op runs in batch mode over the events table") {
     val ev = spark.read.parquet(s"$Sf/events.parquet")
     val out = EventStreams.windowedStats(ev, "1 hour", "1 hour", "1 hour")
