@@ -232,6 +232,7 @@ object Oracles {
          | FROM pages""".stripMargin.replace("\n", " "),
 
     "q32_media_decode" -> graft.sources.MediaSynth.oracleSql,
+    "q45_media_audio" -> graft.sources.MediaSynth.audioOracleSql,
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,

@@ -129,6 +129,15 @@ object SparkEntry {
           col("media.height").cast("long").as("height"),
           col("media.channels").cast("long").as("channels"),
           col("kind"))),
+    // real WAV/RIFF chunk-walk decode over spec-valid synthesized audio
+    "q45_media_audio" -> ((s, dir) =>
+      Media.decode(Media.sniff(sources.MediaSynth.audioBlobs(s, dir), "payload"),
+          "payload", Media.HeaderDecoder)
+        .select(col("doc_id"),
+          col("media.width").cast("long").as("n_frames"),
+          col("media.height").cast("long").as("sample_rate"),
+          col("media.channels").cast("long").as("channels"),
+          col("kind"))),
 
     // --- similarity search ---
     "q27_ann_topk" -> ((s, dir) =>

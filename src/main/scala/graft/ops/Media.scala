@@ -112,10 +112,35 @@ object Media {
       None
     }
 
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      b.length >= o + s.length && new String(b, o, s.length, "ASCII") == s
+
+    /** WAV (RIFF/WAVE): chunk walk to `fmt ` (PCM layout) + `data`; audio
+      * maps onto the feature struct as (width=frames, height=sampleRate,
+      * channels). Real parse, pure JVM. */
+    def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, blockAlign)
+      while (o + 8 <= b.length) {
+        val len = le32(b, o + 4)
+        if (ascii(b, o, "fmt ") && len >= 16)
+          fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 20)))
+        else if (ascii(b, o, "data"))
+          return fmt.collect { case (ch, rate, ba) if ba > 0 => (len / ba, rate, ch) }
+        o += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      None
+    }
+
     override def decodeBatch(payloads: Array[Array[Byte]]): Array[MediaFeatures] = {
       val stub = StubDecoder.decodeBatch(payloads) // deterministic features
       payloads.zip(stub).map { case (b, s) =>
-        parsePng(b).orElse(parseJpeg(b)) match {
+        parsePng(b).orElse(parseJpeg(b)).orElse(parseWav(b)) match {
           case Some((w, h, c)) => s.copy(width = w, height = h, channels = c)
           case None => s
         }

@@ -94,6 +94,43 @@ object MediaSynth {
       .select(col("doc_id"), mk(col("doc_id")).as("payload"))
   }
 
+  // ---- audio (WAV/RIFF) fixtures: closed-form per doc_id ----
+  def sampleRate(docId: Long): Int = (8000 * (1 + docId % 3)).toInt
+  def nFrames(docId: Long): Int = (1 + docId % 100).toInt
+  def chans(docId: Long): Int = (1 + docId % 2).toInt
+
+  /** Spec-complete PCM16 WAV: RIFF/WAVE header, canonical `fmt ` chunk,
+    * `data` chunk with deterministic samples. */
+  def wav(channels: Int, rate: Int, frames: Int): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = frames * blockAlign
+    val b = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("ASCII"))
+    b.put("fmt ".getBytes("ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(channels.toShort).putInt(rate).putInt(rate * blockAlign)
+    b.putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("data".getBytes("ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen / 2) { b.putShort(((i * 2654435761L) & 0x7fff).toShort); i += 1 }
+    b.array()
+  }
+
+  /** (doc_id, payload binary) — one WAV per document. */
+  def audioBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val mk = udf((d: Long) => wav(chans(d), sampleRate(d), nFrames(d)))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+  }
+
+  /** Oracle: expected audio metadata recomputed from documents alone. */
+  val audioOracleSql: String =
+    """SELECT doc_id, CAST(1 + doc_id % 100 AS BIGINT) AS n_frames,
+      | CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+      | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      | 'riff' AS kind FROM documents""".stripMargin.replace("\n", " ")
+
   /** Oracle: expected dims recomputed from documents alone. */
   val oracleSql: String =
     """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width,

@@ -88,6 +88,21 @@ class MediaSpec extends AnyFunSuite with SparkTest {
     assert(out(2)._2 >= 1 && out(2)._3 >= 1)
   }
 
+  test("HeaderDecoder: WAV RIFF chunk walk reads frames/rate/channels; garbage -> None") {
+    val b = graft.sources.MediaSynth.wav(channels = 2, rate = 16000, frames = 37)
+    assert(Media.HeaderDecoder.parseWav(b) === Some((37, 16000, 2)))
+    val mono = graft.sources.MediaSynth.wav(channels = 1, rate = 8000, frames = 100)
+    assert(Media.HeaderDecoder.parseWav(mono) === Some((100, 8000, 1)))
+    assert(Media.HeaderDecoder.parseWav("RIFFxxxxAVI ".getBytes("ASCII")) === None)
+    assert(Media.HeaderDecoder.parseWav(Array[Byte](1, 2, 3)) === None)
+    // javax.sound golden: the synthesized WAV is a REAL parseable wave file
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    assert(ais.getFormat.getChannels === 2)
+    assert(ais.getFormat.getSampleRate === 16000.0f)
+    assert(ais.getFrameLength === 37L)
+  }
+
   test("pages html sniffs as html and matches text length + wrapper") {
     val pages = WebPagesSynth.pages(spark, Sf)
     val out = Media.sniff(pages, "html").select("kind").distinct().collect()
