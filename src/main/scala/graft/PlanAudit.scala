@@ -33,6 +33,12 @@ object PlanAudit {
       SparkEntry.queries("q33_ann_topk_blocked")(spark, sfDir))
     show("q34 ann topk multiprobe lsh (expect: equi-join on bucket)")(
       SparkEntry.queries("q34_ann_topk_lsh")(spark, sfDir))
+    show("q44 ann topk ivf (expect: equi-join on cid; only the 16-row centroid assign is a BNLJ)")(
+      SparkEntry.queries("q44_ann_topk_ivf")(spark, sfDir))
+    show("q36 dedup components (expect: converged star edges — groupBy/join rounds, no closure)")(
+      SparkEntry.queries("q36_dedup_components")(spark, sfDir))
+    show("q43 shapefile DSv2 (expect: BatchScan shapefile with pruned ReadSchema)")(
+      SparkEntry.queries("q43_shapefile_dsv2")(spark, sfDir))
     spark.stop()
   }
 }
