@@ -233,6 +233,7 @@ object Oracles {
 
     "q32_media_decode" -> graft.sources.MediaSynth.oracleSql,
     "q45_media_audio" -> graft.sources.MediaSynth.audioOracleSql,
+    "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,

@@ -89,6 +89,10 @@ object SparkEntry {
       ents(s, dir).select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
         .groupBy("cx", "cy").agg(count(lit(1)).as("n"))),
 
+    // hot-domain skew profile: per-domain frequency + salt factor
+    "q46_domain_salt" -> ((s, dir) =>
+      SkewProfile.domainProfile(WebPagesSynth.pages(s, dir), cap = 50)),
+
     "q18_osm_ways" -> ((s, dir) =>
       OsmWayAssembly.assemble(s, OsmElements.nodes(s, dir), OsmElements.ways(s, dir))
         .select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"))),

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.{GraftShim => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -11,13 +11,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * alternative — `aggregate(zip_with(a, b, _*_), 0, _+_)` — materializes an
   * intermediate array and evaluates two interpreted higher-order lambdas
   * PER CANDIDATE PAIR; these walk the two UnsafeArrayData buffers in one
-  * primitive loop, no allocation. CodegenFallback is fine: the loop body
-  * dominates and the expression still runs inside the surrounding
-  * whole-stage-codegen'd projection. Exactness unchanged (same integer /
-  * IEEE double op sequence), so oracle hashes are unaffected.
+  * primitive loop, no allocation. Each implements `doGenCode` (the same
+  * loop emitted as Java), so the expression stays INSIDE whole-stage
+  * codegen rather than forcing a CodegenFallback interpretive island; the
+  * interpreted `nullSafeEval` remains as the non-codegen path and is
+  * unit-tested equal. Exactness unchanged (same integer / IEEE double op
+  * sequence), so oracle hashes are unaffected.
   */
-case class LongDot(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -27,6 +28,16 @@ case class LongDot(left: Expression, right: Expression)
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
     acc
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "long_dot"
@@ -40,8 +51,7 @@ case class LongDot(left: Expression, right: Expression)
   * composable form re-walked the 64-element array once per plane through
   * two interpreted lambdas each — this walks it once total.
   */
-case class HyperplaneBucket(child: Expression, planes: Int)
-  extends UnaryExpression with CodegenFallback {
+case class HyperplaneBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -59,12 +69,29 @@ case class HyperplaneBucket(child: Expression, planes: Int)
     while (j < planes) { if (acc(j) > 0) b |= 1L << j; j += 1 }
     b
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val v = ctx.freshName("v"); val b = ctx.freshName("b")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $acc = new long[$planes];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  for (int $j = 0; $j < $planes; $j++) {
+         |    $acc[$j] += $v * ((($i + 1) * ($j + 3)) % 3 - 1);
+         |  }
+         |}
+         |long $b = 0L;
+         |for (int $j = 0; $j < $planes; $j++) { if ($acc[$j] > 0) $b |= 1L << $j; }
+         |${ev.value} = $b;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "hyperplane_bucket"
 }
 
-case class DoubleDot(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+case class DoubleDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -74,6 +101,16 @@ case class DoubleDot(left: Expression, right: Expression)
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
     acc
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "double_dot"

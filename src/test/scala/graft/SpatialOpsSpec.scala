@@ -76,6 +76,17 @@ class SpatialOpsSpec extends AnyFunSuite with SparkTest {
     assert(out.groupBy(r => (r._1, r._2)).forall(_._2.map(_._3).sorted.sameElements(Seq(1, 2, 3))))
   }
 
+  test("domain skew profile: hot domain gets a proportional salt, cold domains salt 1") {
+    import spark.implicits._
+    val urls = ((1 to 200).map(i => s"https://hot.example.com/page/$i") ++
+      (1 to 30).map(i => s"https://d$i.example.com/page/$i")).toDF("url")
+    val prof = graft.ops.SkewProfile.domainProfile(urls, cap = 50)
+      .as[(String, Long, Long)].collect().map { case (d, n, s) => d -> ((n, s)) }.toMap
+    assert(prof("hot.example.com") === ((200L, 4L))) // ceil(200/50)
+    assert(prof("d1.example.com") === ((1L, 1L)))
+    assert(prof.size === 31)
+  }
+
   test("hot cells detected and salting preserves results exactly") {
     import spark.implicits._
     val ents = Pipeline.entities(spark, Sf)
