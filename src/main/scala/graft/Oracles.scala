@@ -235,6 +235,7 @@ object Oracles {
     "q45_media_audio" -> graft.sources.MediaSynth.audioOracleSql,
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q35_token_count" -> TextStats.bpeTokensSql,
+    "q47_quality_filter" -> TextStats.qualityFilterSql(),
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
     "q43_shapefile_dsv2" -> graft.sources.FileFixtures.shapefileOracle,

@@ -110,6 +110,7 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
     "q26_fingerprint" -> ((s, dir) => TextStats.fingerprints(t(s, dir, "documents"))),
     "q35_token_count" -> ((s, dir) => TextStats.bpeTokens(t(s, dir, "documents"))),
+    "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
 
     // --- file sources end-to-end (fixture synthesized at query time from
     // closed-form defs; oracle = VALUES literal from the SAME defs) ---

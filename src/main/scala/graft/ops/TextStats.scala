@@ -64,6 +64,65 @@ object TextStats {
       | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym
       | FROM documents""".stripMargin.replace("\n", " ")
 
+  /** Quality filter: C4/Gopher-style keep/drop heuristics, all as EXACT
+    * integer predicates (ratios are cross-multiplied, never divided, so
+    * the DuckDB oracle agrees bit-for-bit):
+    *  - ok_len:      minTokens <= n_tokens <= maxTokens
+    *  - ok_tok:      max token length <= maxTokLen (no unbroken junk runs)
+    *  - ok_stop:     stopword count * 100 >= n_tokens * minStopPct
+    *  - ok_sym:      symbol tokens * 100 <= bpe tokens * maxSymPct
+    *  - ok_distinct: distinct tokens * 100 >= n_tokens * minDistinctPct
+    *    (kills "word word word ..." degenerate repetition)
+    * Emits each rule's verdict (a pipeline wants to know WHY a doc
+    * dropped) plus the combined `keep`. Stopword list = [[MarkersEn]]
+    * (the synthetic corpus' 31-word vocab stand-in for a real list). */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 5, maxTokens: Int = 100000,
+                    maxTokLen: Int = 50, minStopPct: Int = 1, maxSymPct: Int = 30,
+                    minDistinctPct: Int = 10): DataFrame = {
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, t => MarkersEn.map(m => t === m).reduce(_ || _))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val maxLen = array_max(transform(toks, t => length(t))).cast("long")
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
+    val nSym = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    def b(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    docs.select(col("doc_id"), nTokens.as("n_tokens"),
+        b(nTokens >= minTokens && nTokens <= maxTokens).as("ok_len"),
+        b(maxLen <= maxTokLen).as("ok_tok"),
+        b(nStop * 100 >= nTokens * minStopPct).as("ok_stop"),
+        b(nSym * 100 <= nBpe * maxSymPct).as("ok_sym"),
+        b(nDistinct * 100 >= nTokens * minDistinctPct).as("ok_distinct"))
+      .withColumn("keep", b(col("ok_len") === 1 && col("ok_tok") === 1 &&
+        col("ok_stop") === 1 && col("ok_sym") === 1 && col("ok_distinct") === 1))
+  }
+
+  def qualityFilterSql(minTokens: Int = 5, maxTokens: Int = 100000,
+                       maxTokLen: Int = 50, minStopPct: Int = 1, maxSymPct: Int = 30,
+                       minDistinctPct: Int = 10): String = {
+    val stopPred = MarkersEn.map(m => s"t = '$m'").mkString(" OR ")
+    s"""WITH c AS (SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       |  len(list_filter(string_split(text, ' '), t -> $stopPred)) AS n_stop,
+       |  len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct,
+       |  list_max(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS max_len,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_sym
+       |  FROM documents),
+       | v AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN n_tokens >= $minTokens AND n_tokens <= $maxTokens THEN 1 ELSE 0 END AS ok_len,
+       |  CASE WHEN max_len <= $maxTokLen THEN 1 ELSE 0 END AS ok_tok,
+       |  CASE WHEN n_stop * 100 >= n_tokens * $minStopPct THEN 1 ELSE 0 END AS ok_stop,
+       |  CASE WHEN n_sym * 100 <= n_bpe * $maxSymPct THEN 1 ELSE 0 END AS ok_sym,
+       |  CASE WHEN n_distinct * 100 >= n_tokens * $minDistinctPct THEN 1 ELSE 0 END AS ok_distinct
+       |  FROM c)
+       | SELECT doc_id, n_tokens, CAST(ok_len AS BIGINT) AS ok_len,
+       |  CAST(ok_tok AS BIGINT) AS ok_tok, CAST(ok_stop AS BIGINT) AS ok_stop,
+       |  CAST(ok_sym AS BIGINT) AS ok_sym, CAST(ok_distinct AS BIGINT) AS ok_distinct,
+       |  CAST(CASE WHEN ok_len = 1 AND ok_tok = 1 AND ok_stop = 1 AND ok_sym = 1
+       |    AND ok_distinct = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       | FROM v""".stripMargin.replace("\n", " ")
+  }
+
   /** Winnowing fingerprints: polynomial rolling hash over token windows of
     * `w`, keep the minimum hash of every `g`-window band (robust, order-
     * sensitive near-dup fingerprint). Rows-only checked (not SQL-friendly);

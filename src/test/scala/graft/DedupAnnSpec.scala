@@ -238,6 +238,28 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(r === ((1L, 13L, 6L, 3L, 4L)))
   }
 
+  test("quality filter: each rule fires on its own degenerate input") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the data is fast and the merge is clean ok"), // healthy
+      (2L, "tiny"),                                        // too short
+      (3L, "the " + "x" * 60 + " data and more words here"), // junk token run
+      (4L, "alpha beta gamma delta epsilon zeta eta"),     // zero stopwords
+      (5L, "the ;;; !!! ??? ### $$$ %%% @@@ ^^^ &&& ***"), // symbol-heavy
+      (6L, "the " + Seq.fill(40)("word").mkString(" "))    // degenerate repetition
+    ).toDF("doc_id", "text")
+    val out = TextStats.qualityFilter(d)
+      .select("doc_id", "ok_len", "ok_tok", "ok_stop", "ok_sym", "ok_distinct", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L)._2 === 0L && out(2L)._7 === 0L) // ok_len fails
+    assert(out(3L)._3 === 0L)                      // ok_tok fails
+    assert(out(4L)._4 === 0L)                      // ok_stop fails
+    assert(out(5L)._5 === 0L)                      // ok_sym fails
+    assert(out(6L)._6 === 0L)                      // ok_distinct fails
+    assert(Seq(3L, 4L, 5L, 6L).forall(out(_)._7 === 0L))
+  }
+
   test("fingerprints deterministic and sensitive to token order") {
     import spark.implicits._
     val a = TextStats.fingerprints(docs((1L, "a b c d e f g h"))).as[(Long, Long)].collect().toSet
