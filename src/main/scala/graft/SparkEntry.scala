@@ -143,6 +143,11 @@ object SparkEntry {
           col("media.height").cast("long").as("sample_rate"),
           col("media.channels").cast("long").as("channels"),
           col("kind"))),
+    // real AVI/RIFF container walk + per-frame JPEG header decode; every
+    // 4th frame sampled, one row per sampled frame
+    "q48_video_frames" -> ((s, dir) =>
+      Media.sampleFrames(sources.MediaSynth.videoBlobs(s, dir), "payload", every = 4)
+        .select("doc_id", "n_frames", "frame_idx", "frame_w", "frame_h")),
 
     // --- similarity search ---
     "q27_ann_topk" -> ((s, dir) =>

@@ -137,6 +137,27 @@ object Media {
       None
     }
 
+    /** AVI (RIFF/'AVI ') walk: (offset, length) of every video frame chunk
+      * ('xxdc'/'xxdb') inside the 'movi' LIST, recursing into LISTs (movi may
+      * nest 'rec ' groups). Word-aligned like all RIFF chunks. */
+    def aviFrames(b: Array[Byte]): Array[(Int, Int)] = {
+      if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "AVI ")) return Array.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val len = le32(b, o + 4)
+          if (len < 0 || o + 8 + len > end) return // malformed: stop cleanly
+          if (ascii(b, o, "LIST")) walk(o + 12, o + 8 + len)
+          else if (b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b'))
+            out += ((o + 8, len))
+          o += 8 + len + (len & 1)
+        }
+      }
+      walk(12, b.length)
+      out.toArray
+    }
+
     override def decodeBatch(payloads: Array[Array[Byte]]): Array[MediaFeatures] = {
       val stub = StubDecoder.decodeBatch(payloads) // deterministic features
       payloads.zip(stub).map { case (b, s) =>
@@ -146,6 +167,36 @@ object Media {
         }
       }
     }
+  }
+
+  /** Video frame sampling over AVI/MJPEG binary columns: walk the RIFF
+    * container (no index needed), keep every `every`-th frame, and
+    * header-decode each sampled JPEG. One output row per SAMPLED frame —
+    * the 1:N analog of [[decode]]'s 1:1 batch shape; a real pipeline swaps
+    * the JPEG header parse for a full frame decode + model call without
+    * touching the container walk or the row plumbing. */
+  def sampleFrames(df: DataFrame, binCol: String, every: Int): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_w", LongType, nullable = false),
+      StructField("frame_h", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                else r.getAs[Array[Byte]](binIdx)
+        val frames = HeaderDecoder.aviFrames(b)
+        Iterator.range(0, frames.length, every).map { k =>
+          val (off, len) = frames(k)
+          val jb = java.util.Arrays.copyOfRange(b, off, off + len)
+          val (fw, fh) = HeaderDecoder.parseJpeg(jb)
+            .map { case (w, h, _) => (w.toLong, h.toLong) }.getOrElse((-1L, -1L))
+          Row.fromSeq(r.toSeq ++ Seq(frames.length.toLong, k.toLong, fw, fh))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   val featureSchema: StructType = StructType(Seq(

@@ -131,6 +131,84 @@ object MediaSynth {
       | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
       | 'riff' AS kind FROM documents""".stripMargin.replace("\n", " ")
 
+  // ---- video (AVI/RIFF container, MJPEG '00dc' frames): closed-form ----
+  def vFrames(docId: Long): Int = (1 + docId % 24).toInt
+  def vWidth(docId: Long): Int = (16 + (docId * 3) % 48).toInt
+  def vHeight(docId: Long): Int = (16 + (docId * 5) % 48).toInt
+
+  /** RIFF sub-chunk: little-endian size, word-aligned (odd bodies padded). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1
+    val bb = ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("ASCII")).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** RIFF LIST: size covers the 4-byte list type + body. */
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("LIST".getBytes("ASCII")).putInt(4 + body.length)
+      .put(listType.getBytes("ASCII")).put(body)
+    bb.array()
+  }
+
+  /** Spec-shaped AVI: RIFF('AVI ') { LIST(hdrl){ avih, LIST(strl){strh 'vids'/
+    * 'MJPG', strf BITMAPINFOHEADER} }, LIST(movi){ frames x '00dc'(JPEG) } }.
+    * The avih carries the real dwTotalFrames/dwWidth/dwHeight; every frame is
+    * a real JPEG SOF0 payload (odd-length, so the walk exercises RIFF word
+    * padding). */
+  def avi(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def le(n: Int, vals: Int*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putInt); bb.array()
+    }
+    val avih = le(56, 33333, 0, 0, 0, frames, 0, 1, 0, w, h, 0, 0, 0, 0)
+    val strh = {
+      val bb = ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("ASCII")).put("MJPG".getBytes("ASCII"))
+      bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      bb.putInt(1).putInt(30) // scale/rate = 30 fps
+      bb.putInt(0).putInt(frames).putInt(0).putInt(0).putInt(0)
+      bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      bb.put("MJPG".getBytes("ASCII")).putInt(w * h * 3)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++ riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      (0 until frames).toArray.flatMap(_ => riffChunk("00dc", jpeg(w, h))))
+    val body = hdrl ++ movi
+    val out = ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("ASCII")).put(body)
+    out.array()
+  }
+
+  /** (doc_id, payload binary) — one MJPEG AVI per document. */
+  def videoBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val mk = udf((d: Long) => avi(vWidth(d), vHeight(d), vFrames(d)))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+  }
+
+  /** Oracle: sampled frame rows recomputed from documents alone
+    * (generate_series = the every-4th frame index sequence). */
+  val videoOracleSql: String =
+    """SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS n_frames,
+      | unnest(generate_series(0, CAST(doc_id % 24 AS BIGINT), 4)) AS frame_idx,
+      | CAST(16 + (doc_id * 3) % 48 AS BIGINT) AS frame_w,
+      | CAST(16 + (doc_id * 5) % 48 AS BIGINT) AS frame_h
+      | FROM documents""".stripMargin.replace("\n", " ")
+
   /** Oracle: expected dims recomputed from documents alone. */
   val oracleSql: String =
     """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width,

@@ -103,6 +103,40 @@ class MediaSpec extends AnyFunSuite with SparkTest {
     assert(ais.getFrameLength === 37L)
   }
 
+  test("AVI container walk: frame offsets, word padding, nested LISTs") {
+    val b = graft.sources.MediaSynth.avi(w = 20, h = 12, frames = 9)
+    val frames = Media.HeaderDecoder.aviFrames(b)
+    assert(frames.length === 9)
+    // every frame chunk is a real JPEG with the container's dims
+    frames.foreach { case (off, len) =>
+      val jb = java.util.Arrays.copyOfRange(b, off, off + len)
+      assert(Media.HeaderDecoder.parseJpeg(jb) === Some((20, 12, 3)))
+    }
+    // the synthesized JPEG is odd-length -> the walk exercised RIFF padding
+    assert(frames.head._2 % 2 === 1)
+    assert(Media.HeaderDecoder.aviFrames("RIFFxxxxWAVE".getBytes("ASCII")).isEmpty)
+    assert(Media.HeaderDecoder.aviFrames(Array[Byte](1, 2)).isEmpty)
+    // truncated container: walk stops cleanly instead of reading past end
+    assert(Media.HeaderDecoder.aviFrames(b.take(b.length - 7)).length <= 9)
+  }
+
+  test("sampleFrames: every-Nth sampling, per-frame dims, 1:N row shape") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, graft.sources.MediaSynth.avi(16, 16, 5)),
+      (4L, graft.sources.MediaSynth.avi(32, 8, 12))
+    ).toDF("doc_id", "payload")
+    val out = Media.sampleFrames(df, "payload", every = 4)
+      .select("doc_id", "n_frames", "frame_idx", "frame_w", "frame_h")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq === Seq(0L, 4L)) // ceil(5/4)=2
+    assert(out.filter(_._1 == 4L).map(_._3).toSeq === Seq(0L, 4L, 8L))
+    assert(out.forall(r => r._1 != 3L || (r._4 == 16L && r._5 == 16L && r._2 == 5L)))
+    assert(out.forall(r => r._1 != 4L || (r._4 == 32L && r._5 == 8L && r._2 == 12L)))
+    // every=1 keeps all frames
+    assert(Media.sampleFrames(df, "payload", every = 1).count() === 17L)
+  }
+
   test("pages html sniffs as html and matches text length + wrapper") {
     val pages = WebPagesSynth.pages(spark, Sf)
     val out = Media.sniff(pages, "html").select("kind").distinct().collect()
