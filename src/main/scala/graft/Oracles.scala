@@ -234,6 +234,8 @@ object Oracles {
     "q32_media_decode" -> graft.sources.MediaSynth.oracleSql,
     "q45_media_audio" -> graft.sources.MediaSynth.audioOracleSql,
     "q48_video_frames" -> graft.sources.MediaSynth.videoOracleSql,
+    "q49_image_pixels" -> graft.sources.MediaSynth.pixelOracleSql,
+    "q50_image_resize" -> graft.sources.MediaSynth.thumbOracleSql,
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q47_quality_filter" -> TextStats.qualityFilterSql(),

@@ -148,6 +148,20 @@ object SparkEntry {
     "q48_video_frames" -> ((s, dir) =>
       Media.sampleFrames(sources.MediaSynth.videoBlobs(s, dir), "payload", every = 4)
         .select("doc_id", "n_frames", "frame_idx", "frame_w", "frame_h")),
+    // REAL pixel decode (zlib inflate + PNG unfiltering): per-image pixel
+    // checksum the oracle recomputes byte-for-byte from doc_id alone
+    "q49_image_pixels" -> ((s, dir) =>
+      Media.decodeImage(sources.MediaSynth.blobs(s, dir), "payload", 8, 8)
+        .filter(col("img_ch").isNotNull)
+        .select(col("doc_id"), col("img_w").as("width"), col("img_h").as("height"),
+          col("pixel_sum"), col("pixel_count"))),
+    // nearest-neighbor resize over the REAL decoded pixels (8x8 thumbnail);
+    // oracle recomputes the sampled source indices in integer math
+    "q50_image_resize" -> ((s, dir) =>
+      Media.decodeImage(sources.MediaSynth.blobs(s, dir), "payload", 8, 8)
+        .filter(col("img_ch").isNotNull)
+        .select(col("doc_id"), col("thumb_sum"),
+          lit(8L).as("thumb_w"), lit(8L).as("thumb_h"))),
 
     // --- similarity search ---
     "q27_ann_topk" -> ((s, dir) =>

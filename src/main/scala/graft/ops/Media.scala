@@ -169,6 +169,39 @@ object Media {
     }
   }
 
+  /** REAL image pixel decode + nearest-neighbor resize in one per-partition
+    * pass: [[PngCodec.decode]] (zlib inflate + full PNG unfiltering) then
+    * [[PngCodec.resizeNearest]] to a `thumbW` x `thumbH` thumbnail. Appends
+    * small integer feature columns only — the decoded pixel buffer never
+    * enters the plan, so nothing pixel-sized is shuffled or spilled at
+    * scale. Non-decodable payloads (JPEG skeletons, garbage) yield nulls.
+    */
+  def decodeImage(df: DataFrame, binCol: String, thumbW: Int, thumbH: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_w", LongType, nullable = true),
+      StructField("img_h", LongType, nullable = true),
+      StructField("img_ch", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true),
+      StructField("pixel_count", LongType, nullable = true),
+      StructField("thumb_sum", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val b = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                else r.getAs[Array[Byte]](binIdx)
+        val extra: Seq[Any] = PngCodec.decode(b) match {
+          case Some(img) =>
+            val thumb = PngCodec.resizeNearest(img, thumbW, thumbH)
+            Seq(img.width.toLong, img.height.toLong, img.channels.toLong,
+              PngCodec.pixelSum(img), img.pixels.length.toLong,
+              PngCodec.pixelSum(thumb))
+          case None => Seq(null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Video frame sampling over AVI/MJPEG binary columns: walk the RIFF
     * container (no index needed), keep every `every`-th frame, and
     * header-decode each sampled JPEG. One output row per SAMPLED frame —

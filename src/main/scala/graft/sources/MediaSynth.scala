@@ -209,6 +209,41 @@ object MediaSynth {
       | CAST(16 + (doc_id * 5) % 48 AS BIGINT) AS frame_h
       | FROM documents""".stripMargin.replace("\n", " ")
 
+  /** Oracle for the REAL pixel decode: the PNG raw stream is filled with
+    * raw(i) = (i*31)&127 and row-start (filter) bytes zeroed, so the decoded
+    * pixel-byte sum is sum over ALL stream positions minus the row-start
+    * terms — recomputed exactly via generate_series (integer-only math). */
+  val pixelOracleSql: String =
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+      | CAST(1 + (doc_id * 7) % 64 AS BIGINT) AS h
+      | FROM documents WHERE doc_id % 2 = 0),
+      | tot AS (SELECT doc_id, SUM((i * 31) & 127) AS s FROM
+      |  (SELECT doc_id, unnest(generate_series(0, h * (1 + 3 * w) - 1)) AS i FROM d)
+      |  GROUP BY doc_id),
+      | fil AS (SELECT doc_id, SUM(((r * (1 + 3 * w)) * 31) & 127) AS f FROM
+      |  (SELECT doc_id, w, unnest(generate_series(0, h - 1)) AS r FROM d)
+      |  GROUP BY doc_id)
+      | SELECT d.doc_id, d.w AS width, d.h AS height,
+      |  CAST(tot.s - fil.f AS BIGINT) AS pixel_sum,
+      |  CAST(d.h * d.w * 3 AS BIGINT) AS pixel_count
+      | FROM d JOIN tot USING (doc_id) JOIN fil USING (doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Oracle for nearest-neighbor resize: thumb sample (tx,ty,c) reads
+    * source pixel (tx*w/8, ty*h/8) — raw-stream index
+    * sy*(1+3w) + 1 + 3*sx + c, value ((idx*31)&127); t enumerates
+    * (ty,tx,c) as t = (ty*8+tx)*3 + c. Same integer floor division both
+    * engines. */
+  val thumbOracleSql: String =
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+      | CAST(1 + (doc_id * 7) % 64 AS BIGINT) AS h
+      | FROM documents WHERE doc_id % 2 = 0),
+      | px AS (SELECT doc_id, w, h, unnest(generate_series(0, 191)) AS t FROM d)
+      | SELECT doc_id,
+      |  CAST(SUM(((((t // 24) * h // 8) * (1 + 3 * w)
+      |    + 1 + 3 * (((t // 3) % 8) * w // 8) + t % 3) * 31) & 127) AS BIGINT) AS thumb_sum,
+      |  CAST(8 AS BIGINT) AS thumb_w, CAST(8 AS BIGINT) AS thumb_h
+      | FROM px GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Oracle: expected dims recomputed from documents alone. */
   val oracleSql: String =
     """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width,
