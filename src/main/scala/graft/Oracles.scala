@@ -132,6 +132,22 @@ object Oracles {
          | (SELECT ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s GROUP BY cx, cy"""
         .stripMargin.replace("\n", " "),
 
+    "q51_rasterize" ->
+      s"""WITH $polysCte, ${graft.ops.Raster.coveredCteSql}
+         | SELECT poly_id, CAST(${Pipeline.TileZ} AS BIGINT) AS tile_z,
+         |  ${TileAssign.tileXSql("(ix / 20.0)", Pipeline.TileZ)} AS tile_x,
+         |  ${TileAssign.tileYSql("(iy / 20.0)", Pipeline.TileZ)} AS tile_y,
+         |  count(*) AS n_pixels
+         | FROM covered GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
+
+    "q52_zonal_stats" ->
+      s"""WITH $polysCte, ${graft.ops.Raster.coveredCteSql}
+         | SELECT poly_id, count(*) AS n_pixels,
+         |  CAST(SUM${graft.ops.Raster.bandValueSql} AS BIGINT) AS zonal_sum,
+         |  CAST(MIN${graft.ops.Raster.bandValueSql} AS BIGINT) AS zonal_min,
+         |  CAST(MAX${graft.ops.Raster.bandValueSql} AS BIGINT) AS zonal_max
+         | FROM covered GROUP BY poly_id""".stripMargin.replace("\n", " "),
+
     "q18_osm_ways" -> {
       s"""WITH refs AS ${OsmElements.wayRefsSql}, nodes AS ${OsmElements.nodesSql},
          | resolved AS (SELECT r.way_id, count(*) AS npts FROM refs r JOIN nodes n ON r.ref = n.node_id GROUP BY r.way_id),

@@ -93,6 +93,14 @@ object SparkEntry {
     "q46_domain_salt" -> ((s, dir) =>
       SkewProfile.domainProfile(WebPagesSynth.pages(s, dir), cap = 50)),
 
+    // vector -> raster: distributed polygon rasterization onto the 0.05-deg
+    // pixel lattice, rolled up per slippy tile (sequence+explode, no UDF)
+    "q51_rasterize" -> ((s, dir) =>
+      Raster.rasterize(Layers.polygons(s, dir), Pipeline.TileZ)),
+    // raster -> vector: zonal statistics of a synthetic band over polygons
+    "q52_zonal_stats" -> ((s, dir) =>
+      Raster.zonalStats(Layers.polygons(s, dir))),
+
     "q18_osm_ways" -> ((s, dir) =>
       OsmWayAssembly.assemble(s, OsmElements.nodes(s, dir), OsmElements.ways(s, dir))
         .select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"))),

@@ -11,6 +11,41 @@ class SpatialOpsSpec extends AnyFunSuite with SparkTest {
 
   private def deterministic(i: Int, m: Int): Double = ((i * 7919) % m).toDouble / 20.0
 
+  test("Raster.coveredPixels == brute-force JTS diamond containment; rollups consistent") {
+    import spark.implicits._
+    val polys = Layers.polygons(spark, Sf).limit(40).cache()
+    val covered = graft.ops.Raster.coveredPixels(polys)
+      .as[(Long, Long, Long)].collect().toSet
+    val layer = polys.select("poly_id", "cx", "cy", "r")
+      .as[(Long, Double, Double, Double)].collect()
+    var checked = 0
+    for ((id, cx, cy, r) <- layer) {
+      val g = WkbCodec.read(WkbCodec.write(WkbCodec.diamond(cx, cy, r)))
+      val ixs = math.ceil((cx - r) * 20).toLong to math.floor((cx + r) * 20).toLong
+      val iys = math.ceil((cy - r) * 20).toLong to math.floor((cy + r) * 20).toLong
+      for (ix <- ixs; iy <- iys) {
+        val inside = g.contains(WkbCodec.point(ix / 20.0, iy / 20.0))
+        assert(covered.contains((id, ix, iy)) === inside, s"poly $id pixel ($ix,$iy)")
+        checked += 1
+      }
+    }
+    assert(checked > 1000)
+    // zonal pixel counts agree with the covered set; band stats exact
+    val zonal = graft.ops.Raster.zonalStats(polys)
+      .as[(Long, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    for ((id, grp) <- covered.groupBy(_._1)) {
+      val (_, n, s, mn, mx) = zonal(id)
+      assert(n === grp.size.toLong)
+      val vals = grp.toSeq.map { case (_, ix, iy) => ix * 31L + iy * 17L }
+      assert(s === vals.sum); assert(mn === vals.min); assert(mx === vals.max)
+    }
+    // rasterize conserves total pixel count across tiles
+    val rastTotal = graft.ops.Raster.rasterize(polys, 8)
+      .agg(sum("n_pixels")).head().getLong(0)
+    assert(rastTotal === covered.size.toLong)
+    polys.unpersist()
+  }
+
   test("CoverIndex.containing == brute-force JTS contains") {
     val polys = (1 to 50).map { i =>
       val cx = deterministic(i, 3600) - 90.0
