@@ -136,11 +136,16 @@ object TableLog {
   }
 
   /** Write one bucket's parquet dir and commit a new snapshot including it.
-    * Idempotent: the data dir is overwritten, then the manifest committed. */
+    * The data dir is VERSIONED by the committing snapshot number, so data
+    * files are immutable once their manifest commits (Iceberg discipline):
+    * a later rewrite of the same bucket lands in a new dir and older
+    * snapshots stay exactly readable ([[readAt]] time travel). Still
+    * idempotent after a crash: a re-run recomputes the same snapshot
+    * number, overwrites the orphaned (never-committed) dir, and commits. */
   def commitBucket(table: String, base: Snapshot, bucket: String, df: DataFrame,
                    mode: String, srid: Int): Snapshot = {
     val t0 = System.currentTimeMillis()
-    val path = s"$table/data/bucket=$bucket"
+    val path = f"$table/data/bucket=$bucket/v=${base.snapshot + 1}%08d"
     df.write.mode("overwrite").parquet(path)
     val rows = df.sparkSession.read.parquet(path).count()
     val snap = base.copy(
@@ -159,6 +164,63 @@ object TableLog {
   def read(spark: SparkSession, table: String): DataFrame = {
     val snap = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
     spark.read.parquet(snap.buckets.values.map(_.path).toSeq: _*)
+  }
+
+  def snapshotAt(table: String, version: Long): Option[Snapshot] = {
+    val p = logDir(table).resolve(f"v$version%08d.json")
+    if (Files.exists(p))
+      Some(Serialization.read[Snapshot](new String(Files.readAllBytes(p), "UTF-8")))
+    else None
+  }
+
+  /** Time travel: read the table exactly as of snapshot `version`. Data
+    * dirs are per-snapshot immutable, so this is a plain parquet read of
+    * that manifest's paths — no reconstruction. */
+  def readAt(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val snap = snapshotAt(table, version).getOrElse(
+      throw new IllegalStateException(s"no snapshot v$version: $table"))
+    if (snap.buckets.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snap.buckets.values.map(_.path).toSeq: _*)
+  }
+
+  /** Incremental (CDC-style appended-data) read: the buckets ADDED or
+    * REWRITTEN in snapshots (fromVersion, toVersion] — i.e. whose data path
+    * appears in `to`'s manifest but not in `from`'s. A streaming-batch
+    * consumer resumes by remembering only the last version it processed. */
+  def readChanges(spark: SparkSession, table: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val fromPaths = snapshotAt(table, fromVersion).map(_.buckets.values.map(_.path).toSet)
+      .getOrElse(if (fromVersion == 0L) Set.empty[String]
+                 else throw new IllegalStateException(s"no snapshot v$fromVersion: $table"))
+    val to = snapshotAt(table, toVersion).getOrElse(
+      throw new IllegalStateException(s"no snapshot v$toVersion: $table"))
+    val added = to.buckets.values.map(_.path).filterNot(fromPaths).toSeq
+    if (added.isEmpty) spark.emptyDataFrame else spark.read.parquet(added: _*)
+  }
+
+  /** Iceberg-style snapshot expiry: keep the newest `keepLast` manifests
+    * (always including the current one), delete older manifests and any
+    * data dir no kept snapshot references. Kept snapshots remain exactly
+    * readable; expired versions stop time-traveling. Returns
+    * (expired manifest count, deleted data dir count). */
+  def expireSnapshots(table: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val all = snapshots(table)
+    if (all.size <= keepLast) return (0, 0)
+    val (expire, keep) = all.splitAt(all.size - keepLast)
+    val live = keep.flatMap(_.buckets.values.map(m => Paths.get(m.path).normalize())).toSet
+    var dirsDeleted = 0
+    expire.foreach { s =>
+      s.buckets.values.map(m => Paths.get(m.path).normalize()).filterNot(live).foreach { d =>
+        if (Files.exists(d)) {
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          dirsDeleted += 1
+        }
+      }
+      Files.deleteIfExists(logDir(table).resolve(f"v${s.snapshot}%08d.json"))
+    }
+    (expire.size, dirsDeleted)
   }
 
   /** Checkpointed multi-bucket job: computes each logical input partition

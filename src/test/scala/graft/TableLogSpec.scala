@@ -101,6 +101,52 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
     assert(TableLog.current(t).get.snapshot === 2L)
   }
 
+  test("time travel: readAt returns each snapshot's exact data after overwrites") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.write(Seq(1, 2, 3).toDF("v"), t, "fail")      // v1
+    TableLog.write(Seq(9).toDF("v"), t, "overwrite")       // v2
+    TableLog.write(Seq(10, 11).toDF("v"), t, "append")     // v3
+    assert(TableLog.readAt(spark, t, 1).collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+    assert(TableLog.readAt(spark, t, 2).collect().map(_.getInt(0)).toSeq === Seq(9))
+    assert(TableLog.readAt(spark, t, 3).collect().map(_.getInt(0)).sorted.toSeq === Seq(9, 10, 11))
+    // current == latest
+    assert(TableLog.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq === Seq(9, 10, 11))
+    assertThrows[IllegalStateException](TableLog.readAt(spark, t, 7))
+  }
+
+  test("incremental read: readChanges returns only buckets added in (from, to]") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.write(Seq(1, 2).toDF("v"), t, "fail")         // v1
+    TableLog.write(Seq(3).toDF("v"), t, "append")          // v2
+    TableLog.write(Seq(4, 5).toDF("v"), t, "append")       // v3
+    assert(TableLog.readChanges(spark, t, 1, 2).collect().map(_.getInt(0)).toSeq === Seq(3))
+    assert(TableLog.readChanges(spark, t, 1, 3).collect().map(_.getInt(0)).sorted.toSeq === Seq(3, 4, 5))
+    assert(TableLog.readChanges(spark, t, 0, 1).collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+    assert(TableLog.readChanges(spark, t, 3, 3).count() === 0L)
+    // overwrite rewrites the bucket -> shows up as a change
+    TableLog.write(Seq(8).toDF("v"), t, "overwrite")       // v4
+    assert(TableLog.readChanges(spark, t, 3, 4).collect().map(_.getInt(0)).toSeq === Seq(8))
+  }
+
+  test("expireSnapshots: old versions GC'd, kept versions stay exactly readable") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.write(Seq(1).toDF("v"), t, "fail")            // v1
+    TableLog.write(Seq(2).toDF("v"), t, "overwrite")       // v2
+    TableLog.write(Seq(3).toDF("v"), t, "append")          // v3
+    val (expired, deleted) = TableLog.expireSnapshots(t, keepLast = 2)
+    assert(expired === 1)
+    assert(deleted === 1) // v1's rewritten bucket dir is unreferenced by v2/v3
+    assert(TableLog.snapshots(t).map(_.snapshot) === Seq(2L, 3L))
+    assert(TableLog.readAt(spark, t, 2).collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(TableLog.readAt(spark, t, 3).collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+    assertThrows[IllegalStateException](TableLog.readAt(spark, t, 1))
+    // idempotent / no-op when nothing to expire
+    assert(TableLog.expireSnapshots(t, keepLast = 5) === ((0, 0)))
+  }
+
   test("createNamespace is idempotent and marks the dir (K4)") {
     val ns = freshTable() + "_ns"
     assert(!TableLog.namespaceExists(ns))
