@@ -58,6 +58,11 @@ object Bench {
 
     // --- per-query timings at full parallelism (driver contract) ---
     val spark1 = session(cpus)
+    // session warmup: JIT, codegen cache, parquet footer reads — one small
+    // job so the alphabetically-first query isn't charged the session init
+    try force(spark1.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(1000).groupBy("l_returnflag").count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // failure marker -1: a broken query must not masquerade as a duration
@@ -65,6 +70,15 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // fast iteration mode: per-query timings only, one JSON line, no
+    // pipeline/scaling phases and no BENCH.md rewrite
+    if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark1.stop()
+      return
+    }
+
     // --- in-JVM measurement at full parallelism (absolute throughput) ---
     val (featsHi, secHi, idxHi) = timePipeline(spark1, sfDir, rep)
     spark1.stop()

@@ -96,15 +96,19 @@ object Dedup {
     // Cap = drop oversized buckets, log how many (they are near-useless for
     // near-dup anyway: hot buckets are degenerate/boilerplate signatures).
     val buckets = maxBucket match {
-      case None => all
+      case None => all // uncapped self-join: identical subtrees -> ReusedExchange
       case Some(cap) =>
-        val counts = all.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
-        if (logDrops) { // opt-in: the count is its own job re-deriving `all`
+        // the cap adds a second consumer (the bucket-size counts) on top of
+        // the self-join; materialize `all` once instead of re-deriving the
+        // corpus->shingle->sig pipeline per consumer
+        val mat = all.localCheckpoint(false)
+        val counts = mat.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+        if (logDrops) {
           val nDropped = counts.filter(col("bsz") > cap).count()
           if (nDropped > 0)
             System.err.println(s"[dedup] dropped $nDropped LSH buckets larger than $cap docs")
         }
-        all.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
+        mat.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
     }
     val a = buckets.as("a"); val bb = buckets.as("b")
     a.join(bb, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -129,7 +133,11 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs over 3-shingles, oracle-parity ids. */
   def minhashPairs(corpus: DataFrame): DataFrame = {
-    val sh = shingled(corpus)
+    // the shingle frame feeds BOTH the vocab build and the join probe;
+    // Catalyst does not share the common subtree across the self-reference,
+    // so materialize it once (lazy local checkpoint) instead of running the
+    // corpus->explode->distinct derivation twice
+    val sh = shingled(corpus).localCheckpoint(false)
     bandPairs(minhashSig(sh.join(shVocab(sh), "sh").select("doc_id", "tid")))
   }
 
@@ -153,7 +161,9 @@ object Dedup {
   val HalfP: Long = P / 2
 
   def simhash(corpus: DataFrame): DataFrame = {
-    val toks = tokens(corpus).distinct()
+    // same shared-subtree materialization as minhashPairs: toks feeds both
+    // the vocab build and the join probe
+    val toks = tokens(corpus).distinct().localCheckpoint(false)
     val withTid = toks.join(vocab(toks), "tok").select("doc_id", "tid")
     val sums = (0 until Planes).map(j =>
       sum(when((col("tid") * PlaneA(j) + PlaneB(j)) % P < HalfP, 1L).otherwise(-1L)).as(s"s$j"))
@@ -233,7 +243,9 @@ object Dedup {
     *   signal); dropped count is logged. None (oracle parity) = no cap. */
   def jaccardPairs(corpus: DataFrame, maxShingleFreq: Option[Int] = None,
                    logDrops: Boolean = false): DataFrame = {
-    val allSh = shingled(corpus)
+    // shs feeds three consumers (sizes, both self-join sides): materialize
+    // once instead of deriving the explode+distinct three times
+    val allSh = shingled(corpus).localCheckpoint(false)
     val shs = maxShingleFreq match {
       case None => allSh
       case Some(cap) =>

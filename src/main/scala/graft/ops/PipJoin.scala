@@ -63,10 +63,25 @@ object PipJoin {
       .withColumn("cell", explode(coverUdf(col("geom"))))
       .select(col("cell"), col("poly_id"), col("geom"))
 
-    val pts = points.withColumn("cell",
+    // when the skew sketch runs, pts has two consumers (sketch job + join):
+    // materialize once rather than re-deriving the upstream extraction
+    val ptsRaw = points.withColumn("cell",
       pointCellKey(col("lon"), col("lat"), level))
+    val pts = if (hotCells.isEmpty) ptsRaw.localCheckpoint(false) else ptsRaw
 
-    val hot = hotCells.getOrElse(hotCellsOf(pts, threshold = 4 * avgCellCount(pts)))
+    // ONE aggregation pass for the skew sketch: per-cell counts partial-
+    // aggregate to <= 4^level rows (4096 at level 6 — tiny at any input
+    // scale), so threshold + hot-set both derive locally from one job.
+    // (Previously avg and hot-set were two separate jobs, each re-deriving
+    // the full upstream point pipeline.)
+    val hot = hotCells.getOrElse {
+      val counts = pts.groupBy("cell").count().collect()
+      if (counts.isEmpty) Seq.empty[Long]
+      else {
+        val avg = counts.map(_.getLong(1)).sum.toDouble / counts.length
+        counts.filter(_.getLong(1) > 4 * avg).map(_.getLong(0)).toSeq
+      }
+    }
     val hotDf = hot.toDF("hot_cell")
 
     // polygon side: replicate hot-cell cover rows saltFactor ways
@@ -109,9 +124,4 @@ object PipJoin {
   def hotCellsOf(pts: DataFrame, threshold: Double): Seq[Long] =
     pts.groupBy("cell").count().filter(col("count") > threshold)
       .select("cell").collect().map(_.getLong(0)).toSeq
-
-  private def avgCellCount(pts: DataFrame): Double = {
-    val r = pts.groupBy("cell").count().agg(avg("count")).collect()(0)
-    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
-  }
 }
