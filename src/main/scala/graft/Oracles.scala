@@ -132,6 +132,20 @@ object Oracles {
          | (SELECT ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s GROUP BY cx, cy"""
         .stripMargin.replace("\n", " "),
 
+    "q53_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS view_id
+        | FROM (SELECT * FROM events WHERE event_type = 'click') l
+        | ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.replace("\n", " "),
+
+    "q54_extent" ->
+      s"""WITH $polysCte SELECT poly_id % 5 AS grp,
+         | CAST(floor(MIN(cx - r) * 1000) AS BIGINT) AS minx,
+         | CAST(floor(MIN(cy - r) * 1000) AS BIGINT) AS miny,
+         | CAST(floor(MAX(cx + r) * 1000) AS BIGINT) AS maxx,
+         | CAST(floor(MAX(cy + r) * 1000) AS BIGINT) AS maxy
+         | FROM polys GROUP BY 1""".stripMargin.replace("\n", " "),
+
     "q51_rasterize" ->
       s"""WITH $polysCte, ${graft.ops.Raster.coveredCteSql}
          | SELECT poly_id, CAST(${Pipeline.TileZ} AS BIGINT) AS tile_z,

@@ -93,6 +93,30 @@ object SparkEntry {
     "q46_domain_salt" -> ((s, dir) =>
       SkewProfile.domainProfile(WebPagesSynth.pages(s, dir), cap = 50)),
 
+    // as-of join (one shuffle + window carry-forward): each click matched
+    // to the user's most recent view at or before it (DuckDB ASOF oracle)
+    "q53_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsofJoin.asof(clicks, views, "user_id", "ts", Seq("view_id"))
+        .filter(col("view_id").isNotNull) // inner-asof, matching the oracle
+        .select("event_id", "user_id", "view_id")
+    }),
+    // custom geometry AGGREGATE (TypedImperativeAggregate, map-side
+    // combine): bbox union per polygon group, PostGIS ST_Extent analog
+    "q54_extent" -> ((s, dir) =>
+      Layers.polygons(s, dir)
+        .groupBy((col("poly_id") % 5).as("grp"))
+        .agg(GeomAggregates.extent(col("geom")).as("e"))
+        .select(col("grp"),
+          floor(col("e.minx") * 1000).cast("long").as("minx"),
+          floor(col("e.miny") * 1000).cast("long").as("miny"),
+          floor(col("e.maxx") * 1000).cast("long").as("maxx"),
+          floor(col("e.maxy") * 1000).cast("long").as("maxy"))),
+
     // vector -> raster: distributed polygon rasterization onto the 0.05-deg
     // pixel lattice, rolled up per slippy tile (sequence+explode, no UDF)
     "q51_rasterize" -> ((s, dir) =>

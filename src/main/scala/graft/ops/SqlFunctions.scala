@@ -228,7 +228,9 @@ object SqlFunctions {
     "st_astext" -> (es => StAsText(es(0))),
     "st_transform" -> (es => StTransform(es(0), es(1), es(2))),
     "st_contains" -> (es => StContains(es(0), es(1))),
-    "st_point" -> (es => StPoint(es(0), es(1)))
+    "st_point" -> (es => StPoint(es(0), es(1))),
+    // aggregate: bbox union per group (PostGIS ST_Extent)
+    "st_extent" -> (es => ExtentAgg(es(0)).toAggregateExpression())
   )
 }
 

@@ -31,6 +31,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming spatial pipeline == batch pipeline on the same pages (stream-static, stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pages = graft.sources.WebPagesSynth.pages(spark, Sf)
+      .select("url", "text", "lang").limit(60)
+      .as[(String, String, String)].collect().toSeq
+    val in = MemoryStream[(String, String, String)]
+    in.addData(pages: _*)
+    val enriched = graft.streaming.StreamSpatial.enrich(
+      spark, in.toDF().toDF("url", "text", "lang"), Sf)
+    val q = enriched.writeStream.format("memory").queryName("spatial")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT url, ent_idx, text, sort_array(poly_ids) AS p, knn_pois, tile_x, tile_y FROM spatial")
+        .collect().map(_.toSeq).toSet
+      val want = Pipeline.enrich(spark, Sf,
+          graft.ops.EntityExtract.entities(pages.toDF("url", "text", "lang")))
+        .selectExpr("url", "ent_idx", "text", "sort_array(poly_ids) AS p", "knn_pois", "tile_x", "tile_y")
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty)
+      assert(got === want) // identical rows incl. byte-identical text
+    } finally q.stop()
+  }
+
   test("stream ingest into TableLog: per-batch bucket commits, resume adds only new batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
