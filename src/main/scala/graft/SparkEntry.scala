@@ -215,7 +215,7 @@ object SparkEntry {
 
   /** DuckDB-runnable SQL for each query above; q26/q29/q30/q34/q44
     * intentionally omitted (hash-/float-order-dependent or
-    * approximate-by-design => rows-only check). 32 of 37 queries are
+    * approximate-by-design => rows-only check). 39 of 44 queries are
     * oracle-checked. */
   def oracleSql: Map[String, String] = Oracles.sql
 }
