@@ -39,6 +39,12 @@ object PlanAudit {
       SparkEntry.queries("q36_dedup_components")(spark, sfDir))
     show("q43 shapefile DSv2 (expect: BatchScan shapefile with pruned ReadSchema)")(
       SparkEntry.queries("q43_shapefile_dsv2")(spark, sfDir))
+    show("q51 rasterize (expect: WSCG explode+filter, partial HashAggregate, ONE shuffle on group keys)")(
+      SparkEntry.queries("q51_rasterize")(spark, sfDir))
+    show("q53 asof join (expect: Union -> ONE Exchange on key -> Sort -> WindowExec; no range join)")(
+      SparkEntry.queries("q53_asof_join")(spark, sfDir))
+    show("q54 extent (expect: ObjectHashAggregate partial+final — map-side combined bbox)")(
+      SparkEntry.queries("q54_extent")(spark, sfDir))
     spark.stop()
   }
 }
