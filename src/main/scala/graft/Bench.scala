@@ -50,11 +50,84 @@ object Bench {
     (feats, sec, idxSec)
   }
 
+  /** Reference-baseline comparison: bulk GeoJSON load throughput. The
+    * reference's headline number is its single-machine GeoJSON -> PostGIS
+    * load (~52 MB/s derived in BASELINE.md); this measures the same role —
+    * parse + validate + reproject(3857) + WKB-encode + bulk sink into the
+    * snapshot table — over ~550 MB of synthesized FeatureCollections
+    * (32 files = 32 executor tasks through the user-facing readDir path,
+    * each file stream-parsed so task memory stays flat). A tiny untimed
+    * write first warms the parquet-writer classes (a 100 TB job amortizes
+    * class loading to zero; a one-shot cold measurement would charge it
+    * all to the first file). Generation is untimed.
+    * Returns (MB, sec, MB/s). */
+  private def timeGeoJsonLoad(spark: SparkSession): (Double, Double, Double) = {
+    val dir = Files.createTempDirectory("graft-geojson-bench")
+    val tdir = Files.createTempDirectory("graft-geojson-table")
+    try {
+      val nFiles = 32
+      val featsPerFile = 19200
+      var id = 0L
+      val bytesTotal = (0 until nFiles).map { f =>
+        val sb = new StringBuilder(4 << 20)
+        sb.append("""{"type":"FeatureCollection","features":[""")
+        var i = 0
+        while (i < featsPerFile) {
+          if (i > 0) sb.append(',')
+          val cx = (id * 131 % 340).toDouble - 169.5
+          val cy = (id * 37 % 130).toDouble - 64.5
+          sb.append(s"""{"type":"Feature","properties":{"source":"synth","id":"$id","name":"feature-$id"},"geometry":{"type":"Polygon","coordinates":[[""")
+          var k = 0
+          while (k <= 24) { // closed 24-gon ring: realistic vertex density
+            if (k > 0) sb.append(',')
+            val ang = 2 * math.Pi * (k % 24) / 24
+            sb.append('[').append(cx + 0.3 * math.cos(ang)).append(',')
+              .append(cy + 0.2 * math.sin(ang)).append(']')
+            k += 1
+          }
+          sb.append("]]}}")
+          id += 1; i += 1
+        }
+        sb.append("]}")
+        val p = dir.resolve(f"part$f%02d.geojson")
+        Files.writeString(p, sb.toString)
+        Files.size(p)
+      }.sum
+      // one identical untimed run (JIT + parquet-writer warmup, same
+      // discipline as timePipeline), then the timed run
+      def run(table: String): Unit = {
+        val df = graft.sources.SourceDispatch.readDir(
+          spark, dir.toString, srid = 4326, reproject = Some(3857))
+        graft.table.TableLog.write(df, table, "fail", srid = 3857)
+      }
+      run(s"$tdir/warm")
+      val t0 = System.nanoTime()
+      run(s"$tdir/t")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mb = bytesTotal / 1e6
+      (mb, sec, mb / sec)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit =
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => Files.deleteIfExists(q))
+      rm(dir); rm(tdir)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val loN = math.max(1, cpus / 4)
     val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "1000").toInt
+
+    // smoke mode: just the GeoJSON load phase
+    if (sys.env.contains("SPARK_GRAFT_BENCH_LOAD_ONLY")) {
+      val s = session(cpus)
+      val (mb, sec, mbps) = timeGeoJsonLoad(s)
+      println(f"""{"metric":"geojson_load_mb_per_sec","value":$mbps%.1f,"mb":$mb%.1f,"sec":$sec%.2f}""")
+      s.stop()
+      return
+    }
 
     // --- per-query timings at full parallelism (driver contract) ---
     val spark1 = session(cpus)
@@ -81,6 +154,8 @@ object Bench {
 
     // --- in-JVM measurement at full parallelism (absolute throughput) ---
     val (featsHi, secHi, idxHi) = timePipeline(spark1, sfDir, rep)
+    // --- reference-baseline comparison: GeoJSON bulk load MB/s ---
+    val (loadMb, loadSec, loadMbps) = timeGeoJsonLoad(spark1)
     spark1.stop()
 
     // --- executor-style scaling: 1 vs 4 worker PROCESSES (own JVM/heap
@@ -132,7 +207,9 @@ object Bench {
       s"""{"features":$featsHi,"rep":$rep,"workerCores":$wCores,""" +
         s""""sec1worker":$secLo,"sec4workers":$secHiCluster,"fps1worker":$fpsLo,"fps4workers":$fpsHi,""" +
         s""""fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi,"scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
+    val load =
+      s"""{"mb":${f"$loadMb%.1f"},"sec":${f"$loadSec%.2f"},"mb_per_sec":${f"$loadMbps%.1f"},"reference_mb_per_sec":52}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline,"geojson_load":$load}""")
 
     val md =
       s"""# BENCH — measured numbers (this engine)
@@ -168,6 +245,16 @@ object Bench {
          |features = ${featsHi} extracted entities;
          |**scaling efficiency fps(4 executors) / (4 x fps(1 executor)) = ${f"$eff%.3f"}**
          |(target >= 0.8, BASELINE.md).
+         |
+         |## Bulk load vs the reference's headline metric
+         |
+         |GeoJSON bulk load (parse + validate + reproject 4326->3857 + WKB
+         |encode + snapshot-table sink, through the user-facing
+         |`SourceDispatch.readDir`): **${f"$loadMb%.1f"} MB in ${f"$loadSec%.2f"} s =
+         |${f"$loadMbps%.1f"} MB/s** on this box. The reference's published
+         |single-machine GeoJSON->PostGIS load derives to ~52 MB/s
+         |(BASELINE.md); same role (bulk file ingest into an analytic table),
+         |sink here is parquet snapshots instead of PostGIS COPY.
          |
          |Also measured: single JVM at local[$cpus]: ${f"${featsHi / secHi}%.0f"} features/sec.
          |Broadcast-index build (once per job, driver-side, amortized over

@@ -42,17 +42,11 @@ object GeoJsonReader {
     org.apache.spark.sql.GraftShim.column(
       graft.ops.SqlFunctions.StGeomFromGeoJson(org.apache.spark.sql.GraftShim.expression(c)))
 
-  def inferSchema(json: String): StructType = {
-    val root = mapper.readTree(json)
-    if (root.path("type").asText() != "FeatureCollection") {
-      System.err.println("[geojson] not a FeatureCollection; empty schema")
-      return StructType(Seq(StructField("geom", BinaryType, nullable = true)))
-    }
-    val feats = root.path("features")
+  /** Schema fields from the FIRST feature's properties (geojson.rs:29-33). */
+  private def schemaFromFirstFeature(firstFeature: Option[JsonNode]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    if (feats.size() > 0) {
-      // reference: FIRST feature only (geojson.rs:29-33)
-      val props = feats.get(0).path("properties")
+    firstFeature.foreach { feat =>
+      val props = feat.path("properties")
       props.properties().asScala.foreach { e =>
         val (k, v) = (e.getKey, e.getValue)
         if (k != "geom" && k != "geometry") {
@@ -75,6 +69,90 @@ object GeoJsonReader {
       StructField("geom", BinaryType, nullable = true))
   }
 
+  def inferSchema(json: String): StructType = {
+    val root = mapper.readTree(json)
+    if (root.path("type").asText() != "FeatureCollection") {
+      System.err.println("[geojson] not a FeatureCollection; empty schema")
+      return StructType(Seq(StructField("geom", BinaryType, nullable = true)))
+    }
+    val feats = root.path("features")
+    schemaFromFirstFeature(if (feats.size() > 0) Some(feats.get(0)) else None)
+  }
+
+  /** Streaming schema inference: reads the token stream only as far as the
+    * FIRST feature (reference semantics), so inferring from a multi-GB file
+    * costs a few KB of I/O instead of a whole-file DOM. */
+  def inferSchemaStream(open: () => java.io.InputStream): StructType = {
+    import com.fasterxml.jackson.core.{JsonParser, JsonToken}
+    val in = open()
+    val p: JsonParser = mapper.getFactory.createParser(in)
+    try {
+      if (p.nextToken() != JsonToken.START_OBJECT) {
+        System.err.println("[geojson] not a FeatureCollection; empty schema")
+        return StructType(Seq(StructField("geom", BinaryType, nullable = true)))
+      }
+      var isFc = false
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        p.currentName() match {
+          case "type" =>
+            p.nextToken()
+            if (p.getText != "FeatureCollection") {
+              System.err.println("[geojson] not a FeatureCollection; empty schema")
+              return StructType(Seq(StructField("geom", BinaryType, nullable = true)))
+            }
+            isFc = true
+          case "features" =>
+            if (!isFc) { // `type` after `features`: fall back to DOM
+              p.close(); in.close()
+              val src = scala.io.Source.fromInputStream(open(), "UTF-8")
+              val json = try src.mkString finally src.close()
+              return inferSchema(json)
+            }
+            if (p.nextToken() != JsonToken.START_ARRAY)
+              return schemaFromFirstFeature(None)
+            return schemaFromFirstFeature(
+              if (p.nextToken() == JsonToken.START_OBJECT) Some(mapper.readTree[JsonNode](p))
+              else None)
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      schemaFromFirstFeature(None)
+    } finally { p.close(); in.close() }
+  }
+
+  /** One feature subtree -> one Row (shared by the DOM and streaming paths). */
+  private def rowFromFeature(feat: JsonNode, attrs: Array[StructField],
+                             fromSrid: Int, reproject: Option[Int]): Row = {
+    val props = feat.path("properties")
+    val values = attrs.map { f =>
+      val v = props.path(f.name)
+      if (v.isMissingNode || v.isNull) null
+      else (f.dataType, v) match {
+        case (DoubleType, n) if n.isNumber   => n.asDouble()
+        case (StringType, n) if n.isTextual  => n.asText()
+        case (BooleanType, n) if n.isBoolean => n.asBoolean()
+        case _ => throw GraftError.MixedDataTypes(f.name)
+      }
+    }
+    val geomNode = feat.path("geometry")
+    val geom =
+      if (geomNode.isMissingNode || geomNode.isNull) null
+      else {
+        val g = GeoJsonDecode.decode(geomNode)
+        reproject.foreach { to =>
+          g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+            override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+              val (x, y) = Mercator.transform(c.x, c.y, fromSrid, to)
+              c.x = x; c.y = y
+            }
+          })
+          g.geometryChanged()
+        }
+        WkbCodec.write(g)
+      }
+    Row.fromSeq(values.toSeq :+ geom)
+  }
+
   /** Executor-safe parse of one FeatureCollection string into Rows. */
   def parseRows(json: String, schema: StructType,
                 fromSrid: Int, reproject: Option[Int]): Seq[Row] = {
@@ -85,37 +163,66 @@ object GeoJsonReader {
     }
     val attrs = schema.fields.dropRight(1)
     val feats = root.path("features")
-    (0 until feats.size()).map { i =>
-      val feat = feats.get(i)
-      val props = feat.path("properties")
-      val values = attrs.map { f =>
-        val v = props.path(f.name)
-        if (v.isMissingNode || v.isNull) null
-        else (f.dataType, v) match {
-          case (DoubleType, n) if n.isNumber   => n.asDouble()
-          case (StringType, n) if n.isTextual  => n.asText()
-          case (BooleanType, n) if n.isBoolean => n.asBoolean()
-          case _ => throw GraftError.MixedDataTypes(f.name)
-        }
-      }
-      val geomNode = feat.path("geometry")
-      val geom =
-        if (geomNode.isMissingNode || geomNode.isNull) null
-        else {
-          val g = GeoJsonDecode.decode(geomNode)
-          reproject.foreach { to =>
-            g.apply(new org.locationtech.jts.geom.CoordinateFilter {
-              override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
-                val (x, y) = Mercator.transform(c.x, c.y, fromSrid, to)
-                c.x = x; c.y = y
-              }
-            })
-            g.geometryChanged()
-          }
-          WkbCodec.write(g)
-        }
-      Row.fromSeq(values.toSeq :+ geom)
+    (0 until feats.size()).map(i => rowFromFeature(feats.get(i), attrs, fromSrid, reproject))
+  }
+
+  /** Streaming parse of one FeatureCollection: features decode one at a
+    * time off the token stream (per-feature DOM, whole-file DOM never
+    * built), so task memory stays flat no matter the file size — the
+    * 100 TB-safe bulk-ingest path. `open` is called once (twice only in the
+    * degenerate case where `features` precedes `type` in the JSON, which
+    * falls back to the DOM parser to keep reference semantics exactly).
+    * The returned iterator closes the stream on exhaustion. */
+  def parseRowsStream(open: () => java.io.InputStream, schema: StructType,
+                      fromSrid: Int, reproject: Option[Int]): Iterator[Row] = {
+    import com.fasterxml.jackson.core.{JsonParser, JsonToken}
+    val attrs = schema.fields.dropRight(1)
+    val in = open()
+    val p: JsonParser = mapper.getFactory.createParser(in)
+    def fallbackDom(): Iterator[Row] = {
+      p.close(); in.close()
+      val src = scala.io.Source.fromInputStream(open(), "UTF-8")
+      val json = try src.mkString finally src.close()
+      parseRows(json, schema, fromSrid, reproject).iterator
     }
+    if (p.nextToken() != JsonToken.START_OBJECT) {
+      p.close(); in.close()
+      System.err.println("[geojson] not a FeatureCollection; no rows")
+      return Iterator.empty
+    }
+    var isFc = false
+    while (p.nextToken() == JsonToken.FIELD_NAME) {
+      p.currentName() match {
+        case "type" =>
+          p.nextToken()
+          if (p.getText != "FeatureCollection") {
+            p.close(); in.close()
+            System.err.println("[geojson] not a FeatureCollection; no rows")
+            return Iterator.empty
+          }
+          isFc = true
+        case "features" =>
+          if (!isFc) return fallbackDom() // `type` after `features`: rare, not streamable
+          if (p.nextToken() != JsonToken.START_ARRAY) { p.close(); in.close(); return Iterator.empty }
+          return new Iterator[Row] {
+            private var nextTok = p.nextToken()
+            override def hasNext: Boolean = {
+              val h = nextTok == JsonToken.START_OBJECT
+              if (!h) { p.close(); in.close() }
+              h
+            }
+            override def next(): Row = {
+              val feat: JsonNode = mapper.readTree[JsonNode](p) // ONE feature subtree
+              val row = rowFromFeature(feat, attrs, fromSrid, reproject)
+              nextTok = p.nextToken()
+              row
+            }
+          }
+        case _ => p.nextToken(); p.skipChildren()
+      }
+    }
+    p.close(); in.close()
+    Iterator.empty // FeatureCollection with no features array
   }
 
   def read(spark: SparkSession, path: String,
@@ -126,15 +233,18 @@ object GeoJsonReader {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
   }
 
-  /** Many .geojson files parsed on executors, one per task. */
+  /** Many .geojson files parsed on executors, one per task. Each task
+    * streams its file (token-level parse, per-feature decode) — task memory
+    * stays flat regardless of file size. */
   def readDir(spark: SparkSession, dir: String,
               fromSrid: Int = 4326, reproject: Option[Int] = None): DataFrame = {
     val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
       .filter(_.endsWith(".geojson")).sorted.toSeq
     require(files.nonEmpty, s"no .geojson files under $dir")
-    val schema = inferSchema(new String(Files.readAllBytes(Paths.get(files.head)), "UTF-8"))
+    val schema = inferSchemaStream(() => Files.newInputStream(Paths.get(files.head)))
     val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
-      parseRows(new String(Files.readAllBytes(Paths.get(f)), "UTF-8"), schema, fromSrid, reproject)
+      parseRowsStream(() => new java.io.BufferedInputStream(
+        Files.newInputStream(Paths.get(f)), 1 << 20), schema, fromSrid, reproject)
     }
     spark.createDataFrame(rdd, schema)
   }

@@ -128,6 +128,44 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(GeoJsonReader.read(spark, p).count() === 0)
   }
 
+  test("geojson streaming parse == DOM parse (rows, schema), incl. reproject") {
+    val json = spainJson()
+    def open() = new java.io.ByteArrayInputStream(json.getBytes("UTF-8"))
+    val domSchema = GeoJsonReader.inferSchema(json)
+    assert(GeoJsonReader.inferSchemaStream(() => open()) === domSchema)
+    val dom = GeoJsonReader.parseRows(json, domSchema, 4326, Some(3857))
+    val stream = GeoJsonReader.parseRowsStream(() => open(), domSchema, 4326, Some(3857)).toSeq
+    assert(stream.size === dom.size)
+    stream.zip(dom).foreach { case (s, d) =>
+      assert(s.toSeq.dropRight(1) === d.toSeq.dropRight(1))
+      assert(s.getAs[Array[Byte]](domSchema.size - 1).toSeq === d.getAs[Array[Byte]](domSchema.size - 1).toSeq)
+    }
+  }
+
+  test("geojson streaming: type AFTER features falls back to DOM, same rows") {
+    val reordered = """{"features":[
+      {"type":"Feature","properties":{"a":1.5},"geometry":{"type":"Point","coordinates":[1,2]}}],
+      "type":"FeatureCollection"}"""
+    def open() = new java.io.ByteArrayInputStream(reordered.getBytes("UTF-8"))
+    val schema = GeoJsonReader.inferSchemaStream(() => open())
+    assert(schema.fields.map(_.name).toSeq === Seq("a", "geom"))
+    val rows = GeoJsonReader.parseRowsStream(() => open(), schema, 4326, None).toSeq
+    assert(rows.size === 1 && rows.head.getDouble(0) === 1.5)
+  }
+
+  test("geojson streaming: non-FeatureCollection -> empty, extra top-level keys skipped") {
+    def bin(s: String) = () => new java.io.ByteArrayInputStream(s.getBytes("UTF-8"))
+    val schema = GeoJsonReader.inferSchemaStream(bin("""{"type":"Point","coordinates":[1,2]}"""))
+    assert(schema.fields.map(_.name).toSeq === Seq("geom"))
+    assert(GeoJsonReader.parseRowsStream(bin("""{"type":"Point","coordinates":[1,2]}"""),
+      schema, 4326, None).isEmpty)
+    // crs/bbox keys before features must be skipped cleanly
+    val fc = """{"type":"FeatureCollection","bbox":[0,0,2,2],"crs":{"type":"name","properties":{"name":"EPSG:4326"}},
+      "features":[{"type":"Feature","properties":{"a":2.0},"geometry":{"type":"Point","coordinates":[1,2]}}]}"""
+    val s2 = GeoJsonReader.inferSchemaStream(bin(fc))
+    assert(GeoJsonReader.parseRowsStream(bin(fc), s2, 4326, None).size === 1)
+  }
+
   test("geojson reproject is per-coordinate Mercator (P3) and WKB bytes are stable") {
     val p = s"$tmp/spain.geojson"
     Files.write(Paths.get(p), spainJson().getBytes("UTF-8"))
