@@ -79,11 +79,16 @@ object Dedup {
     tokenIds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  private[ops] def bandPairs(sigs: DataFrame, maxBucket: Option[Int] = None,
+  private[ops] def bandPairs(sigs0: DataFrame, maxBucket: Option[Int] = None,
                              logDrops: Boolean = false): DataFrame = {
     // one explode, NOT a union of per-band selects: Catalyst does not share
     // common subtrees across union branches, so the union form re-derived
-    // the whole corpus->shingle->vocab->sig pipeline once per band
+    // the whole corpus->shingle->vocab->sig pipeline once per band.
+    // The sig table (ONE row per doc, 12 longs) is materialized first: the
+    // bucket self-join otherwise recomputes the whole corpus->shingle->
+    // vocab->sig pipeline on BOTH sides (measured: zero ReusedExchange in
+    // the executed plan, 2x wall time).
+    val sigs = sigs0.localCheckpoint(false)
     val bandStructs = (0 until Bands).map { b =>
       val key = concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
@@ -98,17 +103,15 @@ object Dedup {
     val buckets = maxBucket match {
       case None => all // uncapped self-join: identical subtrees -> ReusedExchange
       case Some(cap) =>
-        // the cap adds a second consumer (the bucket-size counts) on top of
-        // the self-join; materialize `all` once instead of re-deriving the
-        // corpus->shingle->sig pipeline per consumer
-        val mat = all.localCheckpoint(false)
-        val counts = mat.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+        // each consumer re-derives only the cheap explode over the
+        // checkpointed sig table
+        val counts = all.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
         if (logDrops) {
           val nDropped = counts.filter(col("bsz") > cap).count()
           if (nDropped > 0)
             System.err.println(s"[dedup] dropped $nDropped LSH buckets larger than $cap docs")
         }
-        mat.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
+        all.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
     }
     val a = buckets.as("a"); val bb = buckets.as("b")
     a.join(bb, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
