@@ -146,6 +146,14 @@ object Oracles {
          | CAST(floor(MAX(cy + r) * 1000) AS BIGINT) AS maxy
          | FROM polys GROUP BY 1""".stripMargin.replace("\n", " "),
 
+    "q55_overlay_join" ->
+      s"""WITH $polysCte,
+         | polysb AS (SELECT c_custkey AS polyb_id, ${Layers.polyBCxSql} AS cx,
+         |   ${Layers.polyBCySql} AS cy, ${Layers.polyBRSql} AS r FROM customer)
+         | SELECT a.poly_id AS a_id, b.polyb_id AS b_id FROM polys a JOIN polysb b
+         | ON abs(a.cx - b.cx) + abs(a.cy - b.cy) <= a.r + b.r"""
+        .stripMargin.replace("\n", " "),
+
     "q51_rasterize" ->
       s"""WITH $polysCte, ${graft.ops.Raster.coveredCteSql}
          | SELECT poly_id, CAST(${Pipeline.TileZ} AS BIGINT) AS tile_z,

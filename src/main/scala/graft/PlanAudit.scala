@@ -43,6 +43,9 @@ object PlanAudit {
       SparkEntry.queries("q51_rasterize")(spark, sfDir))
     show("q53 asof join (expect: Union -> ONE Exchange on key -> Sort -> WindowExec; no range join)")(
       SparkEntry.queries("q53_asof_join")(spark, sfDir))
+    show("q55 overlay join (expect: explode both sides, ONE SortMergeJoin/SHJ on cell, " +
+      "reporting-cell + intersects as post-join filter, NO distinct shuffle on pairs)")(
+      SparkEntry.queries("q55_overlay_join")(spark, sfDir))
     show("q54 extent (expect: ObjectHashAggregate partial+final — map-side combined bbox)")(
       SparkEntry.queries("q54_extent")(spark, sfDir))
     spark.stop()

@@ -116,6 +116,13 @@ object SparkEntry {
           floor(col("e.miny") * 1000).cast("long").as("miny"),
           floor(col("e.maxx") * 1000).cast("long").as("maxx"),
           floor(col("e.maxy") * 1000).cast("long").as("maxy"))),
+    // polygon-polygon intersects join: bbox-cell candidates, reporting-cell
+    // dedup (no distinct shuffle), exact JTS refine; oracle is the
+    // closed-form L1-ball test (tie-free by lattice design, Layers.scala)
+    "q55_overlay_join" -> ((s, dir) =>
+      OverlayJoin.intersectsJoin(
+        Layers.polygons(s, dir), "poly_id",
+        Layers.polygonsB(s, dir), "polyb_id", level = 8)),
 
     // vector -> raster: distributed polygon rasterization onto the 0.05-deg
     // pixel lattice, rolled up per slippy tile (sequence+explode, no UDF)

@@ -197,6 +197,26 @@ object SqlFunctions {
     override def prettyName: String = "st_buffer"
   }
 
+  /** Packed ids of all grid cells at `level` intersecting the geometry's
+    * ENVELOPE (bbox cover, no exact refine — [[OverlayJoin]]'s candidate
+    * generator, where the reporting-cell dedup rule needs the cover to be
+    * the full bbox cell rectangle). */
+  case class StBboxCells(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(wkb: Any, lvl: Any): Any = {
+      val env = WkbCodec.read(wkb.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+      val l = asI(lvl)
+      val cells = graft.index.CellGrid
+        .coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, l)
+        .map { case (x, y) => graft.index.CellGrid.pack(x, y, l) }.toArray
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cells)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_bbox_cells"
+  }
+
   /** name -> (builder, usage) */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_area" -> (es => StUnaryGeom(es(0), "st_area", _.getArea, DoubleType)),
@@ -209,6 +229,11 @@ object SqlFunctions {
       g => g.asInstanceOf[org.locationtech.jts.geom.Point].getX, DoubleType)),
     "st_y" -> (es => StUnaryGeom(es(0), "st_y",
       g => g.asInstanceOf[org.locationtech.jts.geom.Point].getY, DoubleType)),
+    "st_xmin" -> (es => StUnaryGeom(es(0), "st_xmin", _.getEnvelopeInternal.getMinX, DoubleType)),
+    "st_ymin" -> (es => StUnaryGeom(es(0), "st_ymin", _.getEnvelopeInternal.getMinY, DoubleType)),
+    "st_xmax" -> (es => StUnaryGeom(es(0), "st_xmax", _.getEnvelopeInternal.getMaxX, DoubleType)),
+    "st_ymax" -> (es => StUnaryGeom(es(0), "st_ymax", _.getEnvelopeInternal.getMaxY, DoubleType)),
+    "st_bbox_cells" -> (es => StBboxCells(es(0), es(1))),
     "st_distance" -> (es => StBinaryGeomPred(es(0), es(1), "st_distance",
       (a, b) => a.distance(b), DoubleType)),
     "st_intersects" -> (es => StBinaryGeomPred(es(0), es(1), "st_intersects",

@@ -55,6 +55,38 @@ object Layers {
       .withColumn("geom", mkDiamond(col("cx"), col("cy"), col("r")))
   }
 
+  // ---- second polygon layer (from `customer`): diamonds for the overlay
+  // join. Centers on the half-integer lattice, radii in {1.6,1.65,1.7}.
+  // Center L1 distances to A's non-urban diamonds are EVEN integers only:
+  // distance 0 would need p_partkey % 10 = 0 (the urban branch, different
+  // lattice) and odd distances are killed by parity: dx+dy ==
+  // (131p-97c)+(37p-41c) = 168p-138c is even, and reducing mod 360/140
+  // (both even) preserves parity. So the nearest pairs sit at distance 2,
+  // radius sums 1.975..2.175 straddle 2: most (rA,rB) combos intersect,
+  // the smallest (0.375+1.6) does not — the predicate is genuinely
+  // radius-dependent, and no combo equals 2 exactly (tie-free). Distances
+  // to A's urban polygons are multiples of 0.05 and radius sums
+  // {1.7125,1.7625,1.8125} are never a multiple of 0.05. So two diamonds
+  // are never tangent and JTS `intersects` always agrees with the
+  // closed-form L1 test |dcx|+|dcy| <= rA+rB (L1 balls are homothetic:
+  // their Minkowski sum is the L1 ball of the summed radius). ----
+  def polyBCx(c: Column): Column = ((c * 97) % 360) - lit(179.5)
+  def polyBCy(c: Column): Column = ((c * 41) % 140) - lit(69.5)
+  def polyBR(c: Column): Column = lit(1.6) + (c % 3) * 0.05
+  val polyBCxSql = "(((c_custkey * 97) % 360) - 179.5)"
+  val polyBCySql = "(((c_custkey * 41) % 140) - 69.5)"
+  val polyBRSql = "(1.6 + (c_custkey % 3) * 0.05)"
+
+  /** (polyb_id long, cx, cy, r double, geom binary WKB). */
+  def polygonsB(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ck = col("c_custkey")
+    val mkDiamond = udf((cx: Double, cy: Double, r: Double) =>
+      WkbCodec.write(WkbCodec.diamond(cx, cy, r)))
+    c.select(ck.as("polyb_id"), polyBCx(ck).as("cx"), polyBCy(ck).as("cy"), polyBR(ck).as("r"))
+      .withColumn("geom", mkDiamond(col("cx"), col("cy"), col("r")))
+  }
+
   // ---- POI layer (from `supplier`) ----
   def poiX(s: Column): Column = ((s * 211) % 7200) / 20.0 - 180.0
   def poiY(s: Column): Column = ((s * 89) % 2800) / 20.0 - 70.0
