@@ -16,6 +16,17 @@ object Pipeline {
   val TileZ = 8
   val K = 3
 
+  /** Finer grid for the SHUFFLE pip-join path: the broadcast path refines
+    * a dense cell through its per-cell STRtree, but the shuffle path meets
+    * every polygon covering the point's cell, so candidate count per point
+    * is the cell's polygon density — at level 6 the urban cell holds the
+    * whole 2k-polygon square (quadratic blowup, measured 4s of refine at
+    * sf0.1). Level 10 cells (0.35 x 0.175 deg) cut candidates ~20x for a
+    * ~20-cell cover duplication of the big rural diamonds — the standard
+    * cover-grain tradeoff, chosen for the dense side. Output is identical
+    * at any level (the exact refine decides membership). */
+  val ShuffleCellLevel = 10
+
   def entities(spark: SparkSession, sfDir: String): DataFrame =
     EntityExtract.entities(WebPagesSynth.pages(spark, sfDir))
 

@@ -72,7 +72,7 @@ object SparkEntry {
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
 
     "q14_pip_join_salted" -> ((s, dir) =>
-      PipJoin.shuffleJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.CellLevel)
+      PipJoin.shuffleJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.ShuffleCellLevel)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
 
     "q15_knn" -> ((s, dir) =>

@@ -63,19 +63,19 @@ object PipJoin {
       .withColumn("cell", explode(coverUdf(col("geom"))))
       .select(col("cell"), col("poly_id"), col("geom"))
 
-    // when the skew sketch runs, pts has two consumers (sketch job + join):
-    // materialize once rather than re-deriving the upstream extraction
-    val ptsRaw = points.withColumn("cell",
+    val pts = points.withColumn("cell",
       pointCellKey(col("lon"), col("lat"), level))
-    val pts = if (hotCells.isEmpty) ptsRaw.localCheckpoint(false) else ptsRaw
 
-    // ONE aggregation pass for the skew sketch: per-cell counts partial-
-    // aggregate to <= 4^level rows (4096 at level 6 — tiny at any input
-    // scale), so threshold + hot-set both derive locally from one job.
-    // (Previously avg and hot-set were two separate jobs, each re-deriving
-    // the full upstream point pipeline.)
+    // ONE aggregation pass over a 5% SAMPLE for the skew sketch: per-cell
+    // counts partial-aggregate to <= 4^level rows, and the hot set uses a
+    // RELATIVE threshold (4x the mean), which is invariant under uniform
+    // sampling — hot cells are by definition huge, so a sample finds them.
+    // This is the 100 TB shape: materializing (localCheckpoint) the full
+    // fact side just to count cells is a non-starter at scale, and the
+    // only cost of a borderline cell missing the hot set is an unsalted
+    // (still correct) cell. Output never depends on the hot set.
     val hot = hotCells.getOrElse {
-      val counts = pts.groupBy("cell").count().collect()
+      val counts = pts.sample(0.05, 42).groupBy("cell").count().collect()
       if (counts.isEmpty) Seq.empty[Long]
       else {
         val avg = counts.map(_.getLong(1)).sum.toDouble / counts.length
