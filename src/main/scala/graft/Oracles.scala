@@ -113,6 +113,12 @@ object Oracles {
     "q14_pip_join_salted" ->
       s"WITH $entsCte, $polysCte SELECT e.url, e.ent_idx, p.poly_id FROM ents e JOIN polys p ON $pipPred",
 
+    "q56_distance_join" ->
+      s"""WITH $entsCte, $poisCte
+         | SELECT e.url, e.ent_idx, p.poi_id FROM ents e JOIN pois p
+         | ON ($eLon - p.px) * ($eLon - p.px) + ($eLat - p.py) * ($eLat - p.py)
+         |    <= 1.03 * 1.03""".stripMargin.replace("\n", " "),
+
     "q15_knn" ->
       s"""WITH $entsCte, $poisCte,
          | d AS (SELECT e.url, e.ent_idx, p.poi_id,

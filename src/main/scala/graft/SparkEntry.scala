@@ -75,6 +75,18 @@ object SparkEntry {
       PipJoin.shuffleJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.ShuffleCellLevel)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
 
+    // distance join (ST_DWithin / range-join class): cell-ring candidates,
+    // each pair generated exactly once, exact euclidean refine. d=1.03 is
+    // tie-free on the /20 lattice (distance^2 is a multiple of 0.0025;
+    // 1.03^2/0.0025 = 424.36 is not an integer)
+    "q56_distance_join" -> ((s, dir) =>
+      DistanceJoin.dwithin(
+        ents(s, dir).select(col("url"), col("ent_idx"), col("lon"), col("lat")),
+        "lon", "lat",
+        Layers.pois(s, dir).select(col("poi_id"), col("px"), col("py")),
+        "px", "py", d = 1.03)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poi_id"))),
+
     "q15_knn" -> ((s, dir) =>
       KnnJoin.broadcastKnn(s, ents(s, dir), Layers.pois(s, dir), Pipeline.K, Pipeline.CellLevel)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
