@@ -141,7 +141,12 @@ object Bench {
       // failure marker -1: a broken query must not masquerade as a duration
       val ok = try { force(fn(spark1, sfDir)); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop this query's localCheckpoint blocks: ContextCleaner frees them
+      // only on driver GC, so across ~50 queries they pile up in the block
+      // manager and skew later-query timings (untimed)
+      spark1.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (ok) sec else -1.0)
     }
     // fast iteration mode: per-query timings only, one JSON line, no
     // pipeline/scaling phases and no BENCH.md rewrite

@@ -35,7 +35,8 @@ object PlanAudit {
       SparkEntry.queries("q34_ann_topk_lsh")(spark, sfDir))
     show("q44 ann topk ivf (expect: equi-join on cid; only the 16-row centroid assign is a BNLJ)")(
       SparkEntry.queries("q44_ann_topk_ivf")(spark, sfDir))
-    show("q36 dedup components (expect: converged star edges — groupBy/join rounds, no closure)")(
+    show("q36 dedup components (hybrid: star rounds while edges > threshold, union-find " +
+      "finish below it — at bench SF the edge set is small, so expect the local finish)")(
       SparkEntry.queries("q36_dedup_components")(spark, sfDir))
     show("q43 shapefile DSv2 (expect: BatchScan shapefile with pruned ReadSchema)")(
       SparkEntry.queries("q43_shapefile_dsv2")(spark, sfDir))
@@ -46,6 +47,9 @@ object PlanAudit {
     show("q55 overlay join (expect: explode both sides, ONE SortMergeJoin/SHJ on cell, " +
       "reporting-cell + intersects as post-join filter, NO distinct shuffle on pairs)")(
       SparkEntry.queries("q55_overlay_join")(spark, sfDir))
+    show("q56 distance join (expect: single equi-join on _cell, ring explode only on left, " +
+      "codegen'd bbox pre-filter, exact refine; no cross join)")(
+      SparkEntry.queries("q56_distance_join")(spark, sfDir))
     show("q54 extent (expect: ObjectHashAggregate partial+final — map-side combined bbox)")(
       SparkEntry.queries("q54_extent")(spark, sfDir))
     spark.stop()

@@ -122,14 +122,28 @@ object Dedup {
   /** (doc_id, sh) — distinct word 3-shingles. Shingling (not unigrams) is
     * what makes MinHash discriminative: the synthetic corpus has a ~31-word
     * vocab, so unigram signatures would collide for nearly every pair. */
-  def shingled(corpus: DataFrame): DataFrame = {
+  /** Word-3-shingle array column (with duplicates) for a text column. */
+  private def shingleArr: Column = {
     val arr = filter(split(col("text"), " "), t => t =!= "")
     // guard: Spark sequence(0, n) is DESCENDING for n < 0 — short docs get no shingles
-    val shingles = when(size(arr) >= 3,
+    when(size(arr) >= 3,
       transform(sequence(lit(0), size(arr) - 3), i => concat_ws(" ", slice(arr, i + 1, lit(3)))))
       .otherwise(array().cast("array<string>"))
-    corpus.select(col("doc_id"), explode(shingles).as("sh")).distinct()
   }
+
+  def shingled(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(shingleArr).as("sh")).distinct()
+
+  /** Production shingle ids: hash BEFORE the dedup shuffle, so the
+    * distinct runs on 16-byte (long, long) rows instead of full shingle
+    * strings — at 100 TB the shingle stream is the widest intermediate in
+    * the whole minhash pipeline, and its `distinct` is the dominant
+    * shuffle. Collisions are accepted by this path by definition
+    * (tid = xxhash64 already). */
+  def shingledHashedIds(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(shingleArr).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("tid"))
+      .distinct()
 
   /** Oracle-parity shingle ids: sh -> dense 1-based rank in sorted order. */
   def shVocab(sh: DataFrame): DataFrame = denseIds(sh, "sh")
@@ -148,11 +162,8 @@ object Dedup {
     * dictionary, heavy-hitter bucket cap on — the 100 TB path (rows-only
     * checked; the oracle-parity path q21 stays uncapped + exact). */
   def minhashPairsProd(corpus: DataFrame, maxBucket: Int = 1000,
-                       logDrops: Boolean = false): DataFrame = {
-    val sh = shingled(corpus)
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("tid"))
-    bandPairs(minhashSig(sh), Some(maxBucket), logDrops)
-  }
+                       logDrops: Boolean = false): DataFrame =
+    bandPairs(minhashSig(shingledHashedIds(corpus)), Some(maxBucket), logDrops)
 
   // SimHash: 16 planes; plane j contribution of a token = +1 if
   // (tid*PA_j + PB_j) mod P < P/2 else -1 (threshold, NOT parity: the
@@ -191,7 +202,36 @@ object Dedup {
     *
     * Output: (doc_id, component) for every doc that appears in a pair;
     * component = min doc_id reachable. */
-  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Driver-side union-find finish for a small edge set: same output
+    * contract as the converged star rounds (one row per vertex, component
+    * = min id; union-by-min keeps the smaller root, so the final root IS
+    * the component minimum). */
+  private def localComponents(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val rows = edges.iterator.flatMap { case (u, v) => Iterator(u, v) }
+      .toArray.distinct.map(v => (v, find(v))).toSeq
+    spark.createDataFrame(rows).toDF("doc_id", "component")
+  }
+
+  /** @param localThreshold once the (monotonically shrinking) star edge set
+    *   fits under this many edges, finish with a driver-side union-find
+    *   instead of more distributed rounds — each remaining round would be
+    *   several near-empty shuffle jobs whose fixed cost dwarfs the work
+    *   (the same small-graph cutoff GraphFrames' CC uses). 500k edges is
+    *   ~8 MB collected. Pass 0 to force pure distributed rounds. */
+  def components(pairs: DataFrame, maxIter: Int = 50,
+                 localThreshold: Long = 500000): DataFrame = {
     // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -223,6 +263,10 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // the edge set is checkpointed, so the count/collect reads blocks
+      if (prev._1 <= localThreshold)
+        return localComponents(pairs.sparkSession,
+          e.collect().map(r => (r.getLong(0), r.getLong(1))))
       e = smallStar(largeStar(e)).localCheckpoint()
       val cur = checksum(e)
       converged = cur == prev

@@ -73,9 +73,13 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
       (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L))
     val pairs = edges.toDF("doc_a", "doc_b")
-    val rows = Dedup.components(pairs).as[(Long, Long)].collect()
+    // force the DISTRIBUTED star rounds (localThreshold = 0)...
+    val rows = Dedup.components(pairs, localThreshold = 0).as[(Long, Long)].collect()
     assert(rows.length === rows.toMap.size, "a doc got two component labels")
     val got = rows.toMap
+    // ...and the hybrid local finish must agree exactly
+    val gotLocal = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(gotLocal === got)
     // brute-force union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
