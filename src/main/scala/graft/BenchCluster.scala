@@ -20,6 +20,7 @@ object BenchClusterWorker {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-worker-$repFrom")
+      .config("spark.local.dir", Scratch.dir)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,7 +36,7 @@ object BenchClusterWorker {
     // north-rule metric is SPATIAL-JOIN + TILE throughput over an existing
     // table, not synthetic-input generation + regex. Also aligns worker
     // phases so no untimed pass overlaps a sibling's timed run.
-    val entDir = s"/tmp/graft_bench_ents_$repFrom"
+    val entDir = s"${Scratch.dir}/graft_bench_ents_$repFrom"
     Pipeline.entitiesAmplifiedRange(spark, sfDir, repFrom, repTo, repTotal)
       .select("url", "ent_idx", "lon", "lat")
       .write.mode("overwrite").parquet(entDir)
@@ -89,7 +90,8 @@ object BenchCluster {
       val to = if (w == workers - 1) repTotal else (w + 1) * slice
       val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx10g", "-XX:+UseParallelGC", "-XX:ParallelGCThreads=4",
-        "-Dspark.ui.enabled=false", "-cp", cp, "graft.BenchClusterWorker",
+        "-Dspark.ui.enabled=false", s"-Djava.io.tmpdir=${Scratch.dir}",
+        "-cp", cp, "graft.BenchClusterWorker",
         cores.toString, from.toString, to.toString, repTotal.toString, sfDir, syncDir)
       (from, new ProcessBuilder(cmd: _*).redirectErrorStream(true).start())
     }

@@ -15,6 +15,7 @@ object BenchPipeline {
       .appName(s"graft-bench-pipeline-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", Scratch.dir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
