@@ -194,15 +194,32 @@ object Ann {
     cents
   }
 
+  /** Centroid table as ONE literal array-of-structs column (nlist structs
+    * of (cid, c, cc)) — the "broadcast" is an expression constant, so
+    * centroid scans are pure column math: no join, no shuffle, whole-stage
+    * codegen end to end. */
+  private def centLit(cents: DataFrame): Column = {
+    val cs = cents.select(col("cid"), col("c"), col("cc")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    array(cs.map { case (cid, c, cc) =>
+      struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"), lit(cc).as("cc"))
+    }: _*)
+  }
+
+  /** (d2, cid) struct per centroid for a row's (v, vv) — argmin/sort over
+    * this array replaces the crossJoin+groupBy a join-based assignment
+    * needs (which re-shuffles the full corpus per k-means round). */
+  private def centDists(cents: Column): Column =
+    transform(cents, cs => struct(
+      (col("vv") - lit(2.0) * VectorExpressions.doubleDot(col("v"), cs.getField("c"))
+        + cs.getField("cc")).as("d2"),
+      cs.getField("cid").as("cid")))
+
   /** Nearest-centroid assignment; deterministic tie-break by (d2, cid). */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .select(vecs.columns.map(col) :+ col("cid") :+
-        (col("vv") - lit(2.0) * VectorExpressions.doubleDot(col("v"), col("c")) + col("cc")).as("d2"): _*)
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("v")).as("v"), first(col("vv")).as("vv"), first(col("q")).as("q"))
-      .select(col("vec_id"), col("v"), col("vv"), col("q"), col("m.cid").as("cid"))
+    vecs
+      .withColumn("cid", array_min(centDists(centLit(cents))).getField("cid"))
 
   /** IVF approximate top-k: k-means coarse quantizer (the "index build"),
     * candidates = the query's `nprobe` nearest cells, exact integer-dot
@@ -220,13 +237,12 @@ object Ann {
     val cents = kmeansCentroids(vecs, nlist, iters)
     val cands = assignCells(vecs, cents)
       .select(col("vec_id").as("nn_id"), col("q").as("cq"), col("cid"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("d2"), col("cid"))
+    // nprobe nearest cells per query in pure column math: sort the per-row
+    // (d2, cid) array, slice, explode — no join, no window shuffle
     val queries = vecs.filter(col("vec_id") % qmod === 0)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cid"),
-        (col("vv") - lit(2.0) * VectorExpressions.doubleDot(col("v"), col("c")) + col("cc")).as("d2"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
-      .select("query_id", "qq", "cid")
+      .withColumn("_pc", slice(array_sort(centDists(centLit(cents))), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        explode(transform(col("_pc"), s => s.getField("cid"))).as("cid"))
     queries.join(cands, Seq("cid"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), dotCol(col("qq"), col("cq")).as("dot"))

@@ -123,7 +123,7 @@ object Dedup {
     * what makes MinHash discriminative: the synthetic corpus has a ~31-word
     * vocab, so unigram signatures would collide for nearly every pair. */
   /** Word-3-shingle array column (with duplicates) for a text column. */
-  private def shingleArr: Column = {
+  private[graft] def shingleArr: Column = {
     val arr = filter(split(col("text"), " "), t => t =!= "")
     // guard: Spark sequence(0, n) is DESCENDING for n < 0 — short docs get no shingles
     when(size(arr) >= 3,
