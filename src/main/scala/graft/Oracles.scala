@@ -282,6 +282,7 @@ object Oracles {
     "q50_image_resize" -> graft.sources.MediaSynth.thumbOracleSql,
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q35_token_count" -> TextStats.bpeTokensSql,
+    "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q47_quality_filter" -> TextStats.qualityFilterSql(),
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,

@@ -160,6 +160,8 @@ object SparkEntry {
     "q25_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
     "q26_fingerprint" -> ((s, dir) => TextStats.fingerprints(t(s, dir, "documents"))),
+    // Cavnar-Trenkle rank-order trigram classifier (seed-derived profiles)
+    "q37_langid_ngram" -> ((s, dir) => TextStats.langIdNgram(t(s, dir, "documents"))),
     "q35_token_count" -> ((s, dir) => TextStats.bpeTokens(t(s, dir, "documents"))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
 

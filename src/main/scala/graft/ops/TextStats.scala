@@ -42,6 +42,105 @@ object TextStats {
           .when(col("s_de") >= col("s_es"), "de").otherwise("es"))
   }
 
+  // ---------------- Cavnar–Trenkle n-gram language ID ----------------
+
+  /** Per-language seed corpora (ASCII-only so Java-UTF16 and DuckDB-binary
+    * string orderings agree): the rank profiles are DERIVED from these at
+    * object init with the same trigram algorithm the classifier applies to
+    * documents — no hand-tuned tables. */
+  val LangSeeds: Seq[(String, String)] = Seq(
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und die " +
+      "katze sitzt auf der matte mit dem hund im haus und sie waren gluecklich " +
+      "zusammen im sonnenschein des morgens und der wind weht durch die baeume " +
+      "waehrend die voegel in dem garten singen und das wasser im fluss leise rauscht"),
+    "en" -> ("the quick brown fox jumps over the lazy dog and the cat sits on " +
+      "the mat with the dog in the house and they were happy together in the " +
+      "sunshine of the morning and the wind blows through the trees while the " +
+      "birds are singing in the garden and the water in the river is quietly flowing"),
+    "es" -> ("el rapido zorro marron salta sobre el perro perezoso y el gato se " +
+      "sienta en la alfombra con el perro en la casa y estaban felices juntos " +
+      "bajo el sol de la manana y el viento sopla entre los arboles mientras los " +
+      "pajaros cantan en el jardin y el agua del rio fluye tranquilamente"),
+    "fr" -> ("le renard brun rapide saute par dessus le chien paresseux et le " +
+      "chat est assis sur le tapis avec le chien dans la maison et ils etaient " +
+      "heureux ensemble dans le soleil du matin et le vent souffle dans les " +
+      "arbres pendant que les oiseaux chantent dans le jardin et que l eau de la " +
+      "riviere coule doucement"))
+
+  val TopN = 40
+
+  /** Top-`TopN` character trigrams of `text` ranked by (count desc, gram
+    * asc) — 1-based ranks. The SAME semantics the distributed plan and the
+    * oracle SQL compute per document. */
+  private[graft] def trigramProfile(text: String): Seq[(String, Int)] = {
+    val counts = (0 to text.length - 3).map(i => text.substring(i, i + 3))
+      .groupBy(identity).map { case (g, gs) => (g, gs.size) }
+    counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(TopN)
+      .zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
+  }
+
+  /** (lang, gram, rank) rows; every seed must fill all TopN slots so the
+    * out-of-place maximum distance is the constant TopN*TopN. */
+  val Profiles: Seq[(String, String, Int)] = {
+    LangSeeds.foreach { case (l, s) =>
+      require(trigramProfile(s).size == TopN, s"seed '$l' has < $TopN distinct trigrams") }
+    LangSeeds.flatMap { case (l, s) => trigramProfile(s).map { case (g, r) => (l, g, r) } }
+  }
+
+  /** Cavnar–Trenkle rank-order classification ("N-Gram-Based Text
+    * Categorization", SDAIR'94): per doc, rank its top-TopN character
+    * trigrams; distance to a language = out-of-place distance between rank
+    * lists (unmatched profile gram costs TopN); predict the argmin
+    * language, ties broken alphabetically. Integer-exact end to end, so
+    * the DuckDB oracle ([[langIdNgramSql]]) agrees bit-for-bit.
+    *
+    * Plan shape: trigram explode -> count (shuffle on (doc, gram), partial
+    * agg) -> per-DOC window rank (partitioned — no global sort) ->
+    * broadcast join against the tiny profile table -> per-doc argmin via
+    * min(struct). Scales linearly in corpus size. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramsCol = when(length(col("text")) >= 3,
+      transform(sequence(lit(1), length(col("text")) - 2), i => col("text").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val cnt = docs.select(col("doc_id"), explode(gramsCol).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+    val dtop = cnt.withColumn("r", row_number().over(w)).filter(col("r") <= TopN)
+    val prof = docs.sparkSession.createDataFrame(Profiles).toDF("lang", "g", "pr")
+    val credit = dtop.join(broadcast(prof), "g")
+      .groupBy("doc_id", "lang")
+      .agg(sum(lit(TopN.toLong) - abs(col("r") - col("pr"))).as("cr"))
+    val base = docs.select(col("doc_id"),
+      explode(array(LangSeeds.map(s => lit(s._1)): _*)).as("lang"))
+    base.join(credit, Seq("doc_id", "lang"), "left")
+      .withColumn("dist", lit((TopN * TopN).toLong) - coalesce(col("cr"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("lang"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("pred_lang"), col("m.dist").cast("long").as("dist"))
+  }
+
+  def langIdNgramSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val values = Profiles.map { case (l, g, r) => s"('${esc(l)}','${esc(g)}',$r)" }.mkString(", ")
+    val langVals = LangSeeds.map(s => s"('${s._1}')").mkString(", ")
+    s"""WITH grams AS (SELECT doc_id, substr(text, CAST(u AS INTEGER), 3) AS g
+       | FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 1, 1))) AS u FROM documents)),
+       | cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+       | dtop AS (SELECT doc_id, g, r FROM (SELECT doc_id, g,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r FROM cnt) WHERE r <= $TopN),
+       | prof(lang, g, pr) AS (VALUES $values),
+       | credit AS (SELECT d.doc_id, p.lang, sum($TopN - abs(d.r - p.pr)) AS cr
+       |   FROM dtop d JOIN prof p ON d.g = p.g GROUP BY 1, 2),
+       | base AS (SELECT d.doc_id, l.lang FROM (SELECT doc_id FROM documents) d
+       |   CROSS JOIN (VALUES $langVals) l(lang)),
+       | scored AS (SELECT b.doc_id, b.lang, ${TopN * TopN} - COALESCE(c.cr, 0) AS dist
+       |   FROM base b LEFT JOIN credit c ON c.doc_id = b.doc_id AND c.lang = b.lang)
+       | SELECT doc_id, lang AS pred_lang, CAST(dist AS BIGINT) AS dist FROM (
+       |   SELECT doc_id, lang, dist, row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+       |   FROM scored) t WHERE rn = 1""".stripMargin.replace("\n", " ")
+  }
+
   /** BPE-ish regex token counting: the pre-tokenizer split every byte-pair
     * tokenizer starts from — letter runs | digit runs | single non-space
     * symbol. Pure regexp column plan (codegen); the class-only patterns

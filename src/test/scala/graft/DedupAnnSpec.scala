@@ -232,6 +232,37 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(l === ((7L, "en", 2L, 2L, 1L))) // tie en/de -> en precedence
   }
 
+  test("n-gram lang id: seeds self-classify, held-out sentences classify, short text deterministic") {
+    import spark.implicits._
+    // each seed must classify as its own language (distance 0 to itself)
+    val seeds = TextStats.LangSeeds.zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, text, lang) }
+    val seedPred = TextStats.langIdNgram(
+        seeds.map(s => (s._1, s._2)).toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    seeds.zip(seedPred).foreach { case ((_, _, want), (_, got, dist)) =>
+      assert(got === want)
+      assert(dist === 0L)
+    }
+    // held-out sentences (disjoint from the seeds) still classify by their
+    // function-word trigrams — the generalization Cavnar-Trenkle is for
+    val holdout = Seq(
+      (100L, "er sagte dass die kinder im garten in der naehe des wassers spielten", "de"),
+      (101L, "she said that the children were playing in the garden near the water", "en"),
+      (102L, "ella dijo que los ninos estaban jugando en el jardin cerca del agua", "es"),
+      (103L, "elle a dit que les enfants jouaient dans le jardin pres de l eau", "fr"))
+    val got = TextStats.langIdNgram(
+        holdout.map(h => (h._1, h._2)).toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    holdout.zip(got).foreach { case ((_, _, want), (id, pred, _)) =>
+      assert(pred === want, s"doc $id")
+    }
+    // < 3 chars: no trigrams, max distance to every language, first lang wins
+    val short = TextStats.langIdNgram(Seq((1L, "ab")).toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().head
+    assert(short === ((1L, "de", (TextStats.TopN * TextStats.TopN).toLong)))
+  }
+
   test("BPE-ish token counts: letter runs, digit runs, symbols") {
     import spark.implicits._
     val d = Seq((1L, "hello world2 x-y: 3.14 don't")).toDF("doc_id", "text")
