@@ -68,9 +68,11 @@ object FixtureWriters {
   }
 
   /** .shx index (mandatory companion per the ESRI spec): same 100-byte
-    * header, then per record [int32 BE content offset words][int32 BE
-    * content length words] — what lets a reader seek to record i without
-    * scanning, and the split-planning input for the DataSource V2 reader. */
+    * header, then per record [int32 BE record HEADER offset words][int32 BE
+    * content length words] (first record offset = 50 words = byte 100) —
+    * what lets a reader seek to record i without scanning, and the
+    * split-planning input for the DataSource V2 reader. Verified against
+    * the reference's genuine andalucia.shx. */
   private def writeShx(path: String, shapeType: Int, records: Seq[Array[Byte]]): Unit = {
     val totalBytes = 100 + 8 * records.length
     val b = ByteBuffer.allocate(totalBytes)
@@ -80,12 +82,12 @@ object FixtureWriters {
     b.order(ByteOrder.LITTLE_ENDIAN)
     b.putInt(28, 1000)
     b.putInt(32, shapeType)
-    var contentOff = 100 + 8 // first record's CONTENT offset (after its header)
+    var headerOff = 100 // record HEADER offset in the .shp
     records.zipWithIndex.foreach { case (content, i) =>
       b.order(ByteOrder.BIG_ENDIAN)
-      b.putInt(100 + 8 * i, contentOff / 2)
+      b.putInt(100 + 8 * i, headerOff / 2)
       b.putInt(100 + 8 * i + 4, content.length / 2)
-      contentOff += content.length + 8
+      headerOff += 8 + content.length
     }
     Files.write(Paths.get(path), b.array())
   }

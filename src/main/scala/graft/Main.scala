@@ -37,7 +37,12 @@ object Main {
       case Some(ns) => TableLog.createNamespace(ns); s"$ns/$table"
       case None => table
     }
-    TableLog.write(df, qualified, mode, srid = reproject.getOrElse(effSrid))
+    // srid property records what the GEOMETRY actually is: pbf never
+    // reprojects (dispatch above), so --reproject must not relabel it.
+    // (Deliberate deviation: reference `cli.rs:98-100` stamps the reproject
+    // srid unconditionally, mislabeling pbf loads run with --reproject.)
+    val outSrid = if (isPbf) effSrid else reproject.getOrElse(effSrid)
+    TableLog.write(df, qualified, mode, srid = outSrid)
   }
 
   def main(args: Array[String]): Unit = {

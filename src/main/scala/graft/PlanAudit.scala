@@ -34,7 +34,7 @@ object PlanAudit {
       SparkEntry.queries("q33_ann_topk_blocked")(spark, sfDir))
     show("q34 ann topk multiprobe lsh (expect: equi-join on bucket)")(
       SparkEntry.queries("q34_ann_topk_lsh")(spark, sfDir))
-    show("q44 ann topk ivf (expect: equi-join on cid; only the 16-row centroid assign is a BNLJ)")(
+    show("q44 ann topk ivf (expect: equi-join on cid; centroid assign/probe are literal-array column math — no join, no BNLJ)")(
       SparkEntry.queries("q44_ann_topk_ivf")(spark, sfDir))
     show("q36 dedup components (hybrid: star rounds while edges > threshold, union-find " +
       "finish below it — at bench SF the edge set is small, so expect the local finish)")(

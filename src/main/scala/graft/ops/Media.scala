@@ -128,6 +128,9 @@ object Media {
       var fmt: Option[(Int, Int, Int)] = None // (channels, rate, blockAlign)
       while (o + 8 <= b.length) {
         val len = le32(b, o + 4)
+        // malformed guard (same as aviFrames): a negative length would stall
+        // the walk forever, an overlong one reads past the buffer
+        if (len < 0 || o + 8 + len > b.length) return None
         if (ascii(b, o, "fmt ") && len >= 16)
           fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 20)))
         else if (ascii(b, o, "data"))

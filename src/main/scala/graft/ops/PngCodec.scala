@@ -40,7 +40,9 @@ object PngCodec {
     var sawEnd = false
     while (!sawEnd && o + 12 <= bytes.length) {
       val len = be32(bytes, o)
-      if (len < 0 || o + 12 + len > bytes.length) return None
+      // Long math: o + 12 + len wraps negative for len near 2^31, letting a
+      // crafted chunk length slip past the bounds check
+      if (len < 0 || o.toLong + 12L + len > bytes.length) return None
       new String(bytes, o + 4, 4, "ASCII") match {
         case "IHDR" =>
           w = be32(bytes, o + 8); h = be32(bytes, o + 12)
@@ -54,7 +56,12 @@ object PngCodec {
     }
     val ch = channelsOf(colorType)
     if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 || ch == 0) return None
-    val stride = w * ch
+    // crafted IHDR dims overflow w*ch / h*(1+stride) to a negative Int and
+    // crash allocation; cap the decoded plane at 256 MB — garbage-in must
+    // yield None, never a thrown task (decodeImage's contract)
+    val strideL = w.toLong * ch
+    if (h.toLong * (1L + strideL) > (1L << 28)) return None
+    val stride = strideL.toInt
     val raw = inflate(idat.toByteArray, h * (1 + stride))
     if (raw.length < h * (1 + stride)) return None
     val out = new Array[Byte](h * stride)

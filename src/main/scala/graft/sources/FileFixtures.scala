@@ -68,10 +68,29 @@ object FileFixtures {
       s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}""")
   }
 
+  // fixtures are deterministic, so each is synthesized ONCE per JVM into a
+  // cached dir and removed on exit — Bench/Verify sample these queries
+  // repeatedly and would otherwise accumulate abandoned temp dirs (with
+  // java.io.tmpdir on tmpfs, that is RAM)
+  private val fixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+  private def fixtureDir(tag: String)(write: java.nio.file.Path => Unit): java.nio.file.Path =
+    fixtureDirs.getOrElseUpdate(tag, {
+      val d = Files.createTempDirectory(s"graft_$tag")
+      write(d)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        try rm(d.toFile) catch { case _: Throwable => () }
+      }))
+      d
+    })
+
   def geojsonScanQuery(spark: SparkSession): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q40")
+    val dir = fixtureDir("q40")(d => writeGeoJson(s"$d/fix.geojson"))
     val path = s"$dir/fix.geojson"
-    writeGeoJson(path)
     graft.ops.GraftFunctions.register(spark)
     val df = GeoJsonReader.read(spark, path)
     df.select(
@@ -135,8 +154,8 @@ object FileFixtures {
       round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
 
   def shapefileScanQuery(spark: SparkSession): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q41")
-    val shp = writeShapefile(dir.toString)
+    val dir = fixtureDir("q41")(d => { writeShapefile(d.toString); () })
+    val shp = s"$dir/fix.shp"
     graft.ops.GraftFunctions.register(spark)
     shpProjection(ShapefileReader.read(spark, shp))
   }
@@ -145,8 +164,8 @@ object FileFixtures {
     * splitBytes tiny so the 10-record file fans out to multiple input
     * partitions — the scan itself must reassemble the identical table. */
   def shapefileScanQueryV2(spark: SparkSession): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q43")
-    val shp = writeShapefile(dir.toString)
+    val dir = fixtureDir("q43")(d => { writeShapefile(d.toString); () })
+    val shp = s"$dir/fix.shp"
     graft.ops.GraftFunctions.register(spark)
     shpProjection(spark.read.format("shapefile").option("splitBytes", "256").load(shp))
   }
@@ -278,9 +297,8 @@ object FileFixtures {
   }
 
   def pbfScanQuery(spark: SparkSession): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q42")
+    val dir = fixtureDir("q42")(d => writePbf(s"$d/fix.osm.pbf"))
     val path = s"$dir/fix.osm.pbf"
-    writePbf(path)
     val df = OsmPbfReader.read(spark, path)
     df.select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"),
       element_at(col("tags"), 1).as("tag0"))

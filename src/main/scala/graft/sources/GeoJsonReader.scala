@@ -179,14 +179,27 @@ object GeoJsonReader {
     val attrs = schema.fields.dropRight(1)
     val in = open()
     val p: JsonParser = mapper.getFactory.createParser(in)
+    // idempotent close, ALSO registered as a task-completion hook: a
+    // consumer that abandons the iterator early (limit/take/failure) would
+    // otherwise leak this file handle until GC — in a long-lived executor
+    // over thousands of files that climbs toward the fd ulimit
+    val close: () => Unit = {
+      var done = false
+      () => if (!done) {
+        done = true
+        try p.close() finally in.close()
+      }
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     def fallbackDom(): Iterator[Row] = {
-      p.close(); in.close()
+      close()
       val src = scala.io.Source.fromInputStream(open(), "UTF-8")
       val json = try src.mkString finally src.close()
       parseRows(json, schema, fromSrid, reproject).iterator
     }
     if (p.nextToken() != JsonToken.START_OBJECT) {
-      p.close(); in.close()
+      close()
       System.err.println("[geojson] not a FeatureCollection; no rows")
       return Iterator.empty
     }
@@ -196,19 +209,19 @@ object GeoJsonReader {
         case "type" =>
           p.nextToken()
           if (p.getText != "FeatureCollection") {
-            p.close(); in.close()
+            close()
             System.err.println("[geojson] not a FeatureCollection; no rows")
             return Iterator.empty
           }
           isFc = true
         case "features" =>
           if (!isFc) return fallbackDom() // `type` after `features`: rare, not streamable
-          if (p.nextToken() != JsonToken.START_ARRAY) { p.close(); in.close(); return Iterator.empty }
+          if (p.nextToken() != JsonToken.START_ARRAY) { close(); return Iterator.empty }
           return new Iterator[Row] {
             private var nextTok = p.nextToken()
             override def hasNext: Boolean = {
               val h = nextTok == JsonToken.START_OBJECT
-              if (!h) { p.close(); in.close() }
+              if (!h) close()
               h
             }
             override def next(): Row = {
@@ -221,7 +234,7 @@ object GeoJsonReader {
         case _ => p.nextToken(); p.skipChildren()
       }
     }
-    p.close(); in.close()
+    close()
     Iterator.empty // FeatureCollection with no features array
   }
 

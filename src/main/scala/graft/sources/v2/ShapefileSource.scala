@@ -83,8 +83,10 @@ object ShapefileSource {
       val bytes = Files.readAllBytes(shx)
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       val n = (bytes.length - 100) / 8
+      // ESRI spec: the .shx offset addresses the record HEADER in the .shp
+      // (first record = 50 words = byte 100); content starts 8 bytes later
       Array.tabulate(n) { i =>
-        (b.getInt(100 + 8 * i).toLong * 2, b.getInt(100 + 8 * i + 4) * 2)
+        (b.getInt(100 + 8 * i).toLong * 2 + 8, b.getInt(100 + 8 * i + 4) * 2)
       }
     } else {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]

@@ -95,6 +95,14 @@ class MediaSpec extends AnyFunSuite with SparkTest {
     assert(Media.HeaderDecoder.parseWav(mono) === Some((100, 8000, 1)))
     assert(Media.HeaderDecoder.parseWav("RIFFxxxxAVI ".getBytes("ASCII")) === None)
     assert(Media.HeaderDecoder.parseWav(Array[Byte](1, 2, 3)) === None)
+    // malformed chunk lengths must terminate (not hang/overrun): a negative
+    // le32 length would stall the walk, an overlong one reads out of bounds
+    val negLen = "RIFF0000WAVE".getBytes("ASCII") ++
+      "junk".getBytes("ASCII") ++ Array[Byte](-8, -1, -1, -1) ++ new Array[Byte](16)
+    assert(Media.HeaderDecoder.parseWav(negLen) === None)
+    val overLen = "RIFF0000WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ Array[Byte](0x40, 0, 0, 0) ++ new Array[Byte](4)
+    assert(Media.HeaderDecoder.parseWav(overLen) === None)
     // javax.sound golden: the synthesized WAV is a REAL parseable wave file
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(b))

@@ -99,4 +99,20 @@ class PngCodecSpec extends AnyFunSuite {
     // jpeg skeleton from MediaSynth is not a PNG
     assert(PngCodec.decode(graft.sources.MediaSynth.jpeg(10, 10)) === None)
   }
+
+  test("crafted chunk lengths / IHDR dims -> None (no Int-overflow throw)") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    // chunk length 0x7ffffff0: o + 12 + len wraps negative in Int math
+    val hugeChunk = sig ++ be32(0x7ffffff0L) ++ "IHDR".getBytes("ASCII") ++ new Array[Byte](16)
+    assert(PngCodec.decode(hugeChunk) === None)
+    // IHDR claiming 2^30 x 2^16 RGBA: h*(1+stride) overflows to negative
+    val hugeDims = sig ++ be32(13) ++ "IHDR".getBytes("ASCII") ++
+      be32(1L << 30) ++ be32(1L << 16) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) ++ // bit depth 8, color type 6 (RGBA)
+      be32(0) ++ "IEND".getBytes("ASCII") ++ be32(0)
+    assert(PngCodec.decode(hugeDims) === None)
+  }
 }

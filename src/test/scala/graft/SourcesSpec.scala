@@ -252,6 +252,18 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(rowsKey(v2) === rowsKey(v1))
   }
 
+  test("DSv2 shapefile: reference andalucia (GENUINE external .shx) == driver reader") {
+    // the real-world proof of the spec .shx semantics: offsets address the
+    // record HEADER (first = 50 words = byte 100), not the record content —
+    // a content-offset reader parses garbage on any externally-produced file
+    val ref = "/root/reference/examples/shapefile/andalucia.shp"
+    assume(Files.exists(Paths.get(ref)))
+    val v1 = ShapefileReader.read(spark, ref)
+    val v2 = spark.read.format("shapefile").option("splitBytes", "65536").load(ref)
+    assert(v2.rdd.getNumPartitions > 1, "expected the 12 MB file to split")
+    assert(rowsKey(v2) === rowsKey(v1))
+  }
+
   test("DSv2 shapefile: pruning geom never opens the .shp (deleted file, attrs still read)") {
     val dir = Files.createTempDirectory("graft-dsv2p").toString
     val shp = graft.sources.FileFixtures.writeShapefile(dir)
