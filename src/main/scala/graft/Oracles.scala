@@ -283,6 +283,13 @@ object Oracles {
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
+
+    // q57: the pruned read must return EXACTLY the bbox rows — the oracle
+    // replays only the exact filter over the same closed-form node layer,
+    // so any bucket/row-group skipped wrongly shows up as a missing row
+    "q57_pruned_bbox" ->
+      s"""SELECT node_id FROM ${graft.sources.OsmElements.nodesSql} n
+         | WHERE lon >= 10.0 AND lon < 30.0 AND lat >= 5.0 AND lat < 25.0""".stripMargin.replace("\n", " "),
     "q47_quality_filter" -> TextStats.qualityFilterSql(),
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,

@@ -36,6 +36,8 @@ object PlanAudit {
       SparkEntry.queries("q34_ann_topk_lsh")(spark, sfDir))
     show("q44 ann topk ivf (expect: equi-join on cid; centroid assign/probe are literal-array column math — no join, no BNLJ)")(
       SparkEntry.queries("q44_ann_topk_ivf")(spark, sfDir))
+    show("q57 pruned bbox (expect: PushedFilters with cell BETWEENs on the parquet scan — manifest pruned the buckets, parquet stats prune row groups)")(
+      SparkEntry.queries("q57_pruned_bbox")(spark, sfDir))
     show("q36 dedup components (hybrid: star rounds while edges > threshold, union-find " +
       "finish below it — at bench SF the edge set is small, so expect the local finish)")(
       SparkEntry.queries("q36_dedup_components")(spark, sfDir))

@@ -29,6 +29,22 @@ object SparkEntry {
   private def cellY(lat: Column): Column =
     greatest(lit(0L), least(lit(63L), floor((lat + 90.0) / 180.0 * 64.0).cast("long")))
 
+  // q57: Z-order clustered spatial table, built once per (JVM, sfDir) from
+  // the closed-form node layer; the query reads a bbox through the PRUNED
+  // path (manifest cell stats skip buckets, parquet stats skip row groups)
+  // and refines exactly — the oracle replays only the exact bbox filter,
+  // so a pruning bug that loses rows hash-mismatches
+  private val clusteredTables = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def clusteredNodes(s: SparkSession, dir: String): String =
+    clusteredTables.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_q57").toString + "/nodes"
+      val pts = OsmElements.nodes(s, dir).select(col("node_id"), col("lon"), col("lat"))
+        .withColumn("cell", graft.table.SpatialLayout.cellCol(col("lon"), col("lat"), level = 8))
+      graft.table.TableLog.writeClustered(pts, t, "overwrite", srid = 4326,
+        cellCol = "cell", buckets = 8)
+      t
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- engine sanity (classic relational) ---
     "q01_lineitem_agg" -> ((s, dir) =>
@@ -164,6 +180,16 @@ object SparkEntry {
     "q37_langid_ngram" -> ((s, dir) => TextStats.langIdNgram(t(s, dir, "documents"))),
     "q35_token_count" -> ((s, dir) => TextStats.bpeTokens(t(s, dir, "documents"))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
+
+    // Z-order clustered table + manifest/parquet data-skipping bbox read
+    "q57_pruned_bbox" -> ((s, dir) => {
+      val table = clusteredNodes(s, dir)
+      val ranges = graft.table.SpatialLayout.mortonRanges(10.0, 5.0, 30.0, 25.0, level = 8)
+      graft.table.TableLog.readCellRanges(s, table, "cell", ranges)
+        .filter(col("lon") >= 10.0 && col("lon") < 30.0 &&
+                col("lat") >= 5.0 && col("lat") < 25.0)
+        .select(col("node_id"))
+    }),
 
     // --- file sources end-to-end (fixture synthesized at query time from
     // closed-form defs; oracle = VALUES literal from the SAME defs) ---

@@ -29,7 +29,12 @@ import scala.jdk.CollectionConverters._
   */
 object TableLog {
 
-  final case class BucketMeta(path: String, rows: Long, millis: Long)
+  /** cellMin/cellMax: Morton cell-id range of the bucket's rows when it
+    * was written through [[writeClustered]] — the manifest-level stat that
+    * lets a spatial read skip whole buckets (absent on non-spatial writes;
+    * a statless bucket is always read, so old manifests stay correct). */
+  final case class BucketMeta(path: String, rows: Long, millis: Long,
+                              cellMin: Option[Long] = None, cellMax: Option[Long] = None)
   final case class Snapshot(
       snapshot: Long,
       parent: Option[Long],
@@ -143,11 +148,21 @@ object TableLog {
     * idempotent after a crash: a re-run recomputes the same snapshot
     * number, overwrites the orphaned (never-committed) dir, and commits. */
   def commitBucket(table: String, base: Snapshot, bucket: String, df: DataFrame,
-                   mode: String, srid: Int): Snapshot = {
+                   mode: String, srid: Int, cellCol: Option[String] = None): Snapshot = {
     val t0 = System.currentTimeMillis()
     val path = f"$table/data/bucket=$bucket/v=${base.snapshot + 1}%08d"
     df.write.mode("overwrite").parquet(path)
-    val rows = df.sparkSession.read.parquet(path).count()
+    val readBack = df.sparkSession.read.parquet(path)
+    // rows and (optional) cell stats from the COMMITTED files, one job
+    import org.apache.spark.sql.functions.{count, lit, min, max, col}
+    val (rows, cellMin, cellMax) = cellCol match {
+      case Some(c) =>
+        val r = readBack.agg(count(lit(1)), min(col(c)), max(col(c))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      case None => (readBack.count(), None, None)
+    }
     val snap = base.copy(
       snapshot = base.snapshot + 1,
       parent = if (base.schemaDdl.isEmpty) None else Some(base.snapshot),
@@ -155,9 +170,79 @@ object TableLog {
       srid = srid,
       mode = mode,
       tsMillis = System.currentTimeMillis(),
-      buckets = base.buckets + (bucket -> BucketMeta(path, rows, System.currentTimeMillis() - t0)))
+      buckets = base.buckets +
+        (bucket -> BucketMeta(path, rows, System.currentTimeMillis() - t0, cellMin, cellMax)))
     commit(table, snap)
     snap
+  }
+
+  /** Z-order clustered spatial write: range-split the Morton cell column
+    * into up to `buckets` slices (approx-quantile boundaries — the same
+    * sampling RangePartitioner uses), sort each slice by cell within
+    * partitions, and commit each as its own bucket with min/max cell
+    * stats. Two skip levels on read: whole buckets via the manifest stats
+    * ([[prunedBuckets]]), row groups inside a bucket via parquet column
+    * stats (tight because the data is cell-sorted). This is the
+    * data-skipping a spatial table needs at 100 TB: a city-scale bbox
+    * query must not scan the planet. */
+  def writeClustered(df: DataFrame, table: String, mode: String, srid: Int,
+                     cellCol: String, buckets: Int = 8): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    require(buckets >= 1, "buckets must be >= 1")
+    val base = mode match {
+      case "fail" =>
+        if (exists(table)) throw graft.GraftError.TableExists(table)
+        None
+      case "overwrite" => current(table).map(_.copy(buckets = Map.empty))
+      case m => throw graft.GraftError.InvalidMode(m)
+    }
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else df.stat.approxQuantile(cellCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
+    val slices = (0 to bounds.length).map { i =>
+      val loPred = if (i == 0) None else Some(col(cellCol) > bounds(i - 1))
+      val hiPred = if (i == bounds.length) None else Some(col(cellCol) <= bounds(i))
+      val pred = (loPred.toSeq ++ hiPred.toSeq).reduceOption(_ && _)
+      f"cell-$i%04d" -> pred.map(df.filter).getOrElse(df)
+    }
+    var snap = base.getOrElse(
+      Snapshot(0L, None, "", srid, mode, System.currentTimeMillis(), Map.empty))
+    slices.foreach { case (bucket, slice) =>
+      snap = commitBucket(table, snap, bucket,
+        slice.sortWithinPartitions(cellCol), mode, srid, cellCol = Some(cellCol))
+    }
+    snap
+  }
+
+  /** Buckets of the current snapshot a query over `ranges` must read:
+    * cell-stat buckets whose [cellMin, cellMax] intersects some range,
+    * plus every statless bucket (correctness over optimism). */
+  def prunedBuckets(table: String, ranges: Seq[(Long, Long)]): Seq[(String, BucketMeta)] = {
+    val snap = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
+    snap.buckets.toSeq.filter { case (_, m) =>
+      (m.cellMin, m.cellMax) match {
+        case (Some(lo), Some(hi)) => ranges.exists { case (a, b) => a <= hi && lo <= b }
+        case _ => true
+      }
+    }
+  }
+
+  /** Range-pruned spatial read: only the buckets [[prunedBuckets]] keeps
+    * are opened; the range predicate is applied as an OR of BETWEENs so
+    * parquet row-group stats prune further inside each bucket. Callers
+    * refine with their exact geometry predicate — cell ranges cover the
+    * query region, they do not equal it. */
+  def readCellRanges(spark: SparkSession, table: String, cellCol: String,
+                     ranges: Seq[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
+    val keep = prunedBuckets(table, ranges)
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+    else spark.read.parquet(keep.map(_._2.path): _*)
+      .filter(SpatialLayout.rangePredicate(col(cellCol), ranges))
   }
 
   /** Read the current snapshot's data. */

@@ -171,6 +171,66 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
       pts.join(polys, "cell_id").count())
   }
 
+  test("SpatialLayout column-math morton == CellGrid.morton; ranges cover the cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.table.SpatialLayout
+    import graft.index.CellGrid
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((math.abs(rnd.nextLong()) % (1L << 29),
+      math.abs(rnd.nextLong()) % (1L << 29)))
+    val got = pairs.toDF("cx", "cy")
+      .select(SpatialLayout.mortonCol(col("cx"), col("cy"))).as[Long].collect().toSeq
+    assert(got === pairs.map { case (x, y) => CellGrid.morton(x, y) })
+    // ranges: merged, disjoint, and their total length == #cover cells
+    val ranges = SpatialLayout.mortonRanges(-3.0, 40.0, 4.0, 45.0, 8)
+    val nCells = CellGrid.coverBBox(-3.0, 40.0, 4.0, 45.0, 8).size
+    assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum === nCells.toLong)
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 + 1 < l2) // merged => gaps between
+      case _ => ()
+    }
+  }
+
+  test("writeClustered: bbox read prunes buckets, returns exactly the full-scan rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.table.SpatialLayout
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/pts"
+    // 4000 points spread over the world on a deterministic lattice
+    val pts = spark.range(4000).select(
+        col("id"),
+        (col("id") * 97 % 7200 / lit(20.0) - 180.0).as("lon"),
+        (col("id") * 131 % 3600 / lit(20.0) - 90.0).as("lat"))
+      .withColumn("cell", SpatialLayout.cellCol(col("lon"), col("lat"), 8))
+    val snap = TableLog.writeClustered(pts, dir, "fail", 4326, "cell", buckets = 8)
+    assert(snap.buckets.size === 8)
+    assert(snap.buckets.values.forall(m => m.cellMin.isDefined && m.cellMax.isDefined))
+    // buckets are disjoint, ordered cell ranges
+    val metas = snap.buckets.toSeq.sortBy(_._1).map(_._2)
+    metas.sliding(2).foreach {
+      case Seq(a, b) => assert(a.cellMax.get < b.cellMin.get)
+      case _ => ()
+    }
+    // a city-scale bbox touches few buckets...
+    val ranges = SpatialLayout.mortonRanges(10.0, 5.0, 14.0, 9.0, 8)
+    val touched = TableLog.prunedBuckets(dir, ranges)
+    assert(touched.size < 8, s"expected pruning, read ${touched.size} of 8 buckets")
+    // ...and the pruned read + exact refine equals the unpruned filter
+    def bbox(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("lon") >= 10.0 && col("lon") < 14.0 &&
+        col("lat") >= 5.0 && col("lat") < 9.0)
+    val got = bbox(TableLog.readCellRanges(spark, dir, "cell", ranges))
+      .select("id").as[Long].collect().toSet
+    val want = bbox(TableLog.read(spark, dir)).select("id").as[Long].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    // statless (plain) writes are never pruned — old manifests stay correct
+    val plain = Files.createTempDirectory("graft-zorder2").toString + "/pts"
+    TableLog.write(pts, plain, "fail", 4326)
+    assert(TableLog.prunedBuckets(plain, ranges).size === 1)
+  }
+
   test("commit is atomic: _current always points at a complete manifest") {
     import spark.implicits._
     val t = freshTable()
