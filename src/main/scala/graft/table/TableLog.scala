@@ -215,6 +215,71 @@ object TableLog {
     snap
   }
 
+  /** Copy-on-write upsert into a CLUSTERED table (Iceberg MERGE shape):
+    * each incoming row routes to the bucket whose cell span contains it
+    * (buckets ordered by cellMin; a row below the first span joins the
+    * first bucket), and ONLY buckets that receive rows are rewritten —
+    * matched `key`s replaced, everything else carried forward by
+    * REFERENCE (untouched buckets keep their data paths, so at 100 TB an
+    * upsert touching one city rewrites one bucket, not the planet). One
+    * snapshot commits the whole merge; time travel still sees the old
+    * version. Requires every bucket to carry cell stats (i.e. the table
+    * was written by [[writeClustered]]). Constraint: a key's cell must be
+    * stable across upserts — a row whose location moves buckets leaves its
+    * stale twin in the old bucket (delete-then-insert for moves, the same
+    * contract Iceberg's bucket-partitioned MERGE has for partition
+    * columns). */
+  def mergeClustered(df: DataFrame, table: String, key: String, cellCol: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val base = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
+    val ordered = base.buckets.toSeq.sortBy(_._2.cellMin.getOrElse(
+      throw new IllegalStateException(s"bucket without cell stats in $table — not a clustered table")))
+    // route each incoming row to its bucket: greatest cellMin <= cell
+    val bucketIdx = ordered.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, ((_, m), i)) =>
+      when(col(cellCol) >= m.cellMin.get, i).otherwise(acc)
+    }
+    val routed = df.withColumn("_mrg_b", bucketIdx)
+    // ONE job finds the affected buckets (small result: at most #buckets rows)
+    val affected = routed.groupBy("_mrg_b").agg(count(lit(1)))
+      .collect().map(_.getInt(0)).toSet
+    val next = base.snapshot + 1
+    var buckets = base.buckets
+    ordered.zipWithIndex.foreach { case ((name, meta), i) =>
+      if (affected(i)) {
+        val incoming = routed.filter(col("_mrg_b") === i).drop("_mrg_b")
+        val t0 = System.currentTimeMillis()
+        val old = df.sparkSession.read.parquet(meta.path)
+        val merged = old.join(incoming.select(col(key)), Seq(key), "left_anti")
+          .unionByName(incoming)
+          .sortWithinPartitions(cellCol)
+        val path = f"$table/data/bucket=$name/v=$next%08d"
+        merged.write.mode("overwrite").parquet(path)
+        val r = df.sparkSession.read.parquet(path)
+          .agg(count(lit(1)),
+            org.apache.spark.sql.functions.min(col(cellCol)),
+            org.apache.spark.sql.functions.max(col(cellCol))).head()
+        buckets += (name -> BucketMeta(path, r.getLong(0),
+          System.currentTimeMillis() - t0,
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }
+    }
+    val snap = base.copy(snapshot = next, parent = Some(base.snapshot),
+      mode = "merge", tsMillis = System.currentTimeMillis(), buckets = buckets)
+    commit(table, snap)
+    snap
+  }
+
+  /** Bucket compaction/re-clustering: rewrite the CURRENT data as a fresh
+    * clustered layout (new quantile boundaries, `buckets` slices) in one
+    * snapshot — the table-maintenance pass that restores tight cell spans
+    * after many merges have widened them. Old snapshots remain readable
+    * until [[expireSnapshots]]. */
+  def compactClustered(spark: SparkSession, table: String,
+                       cellCol: String, buckets: Int = 8): Snapshot =
+    writeClustered(read(spark, table), table, "overwrite",
+      current(table).map(_.srid).getOrElse(4326), cellCol, buckets)
+
   /** Buckets of the current snapshot a query over `ranges` must read:
     * cell-stat buckets whose [cellMin, cellMax] intersects some range,
     * plus every statless bucket (correctness over optimism). */

@@ -231,6 +231,54 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
     assert(TableLog.prunedBuckets(plain, ranges).size === 1)
   }
 
+  test("mergeClustered: copy-on-write touches only routed buckets; compact re-tightens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.table.SpatialLayout
+    val dir = Files.createTempDirectory("graft-merge").toString + "/pts"
+    def withCell(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cell", SpatialLayout.cellCol(col("lon"), col("lat"), 8))
+    val pts = withCell(spark.range(2000).select(
+      col("id"),
+      (col("id") * 97 % 7200 / lit(20.0) - 180.0).as("lon"),
+      (col("id") * 131 % 3600 / lit(20.0) - 90.0).as("lat"),
+      lit(0L).as("ver")))
+    val v1 = TableLog.writeClustered(pts, dir, "fail", 4326, "cell", buckets = 4)
+    // upsert: update ids 0/4/8... (same lon/lat => same cell), insert 9000-9009
+    val upd = withCell(spark.range(500).select(
+      (col("id") * 4).as("id"),
+      (col("id") * 4 * 97 % 7200 / lit(20.0) - 180.0).as("lon"),
+      (col("id") * 4 * 131 % 3600 / lit(20.0) - 90.0).as("lat"),
+      lit(1L).as("ver")))
+    val ins = withCell(spark.range(9000, 9010).select(
+      col("id"), lit(10.5).as("lon"), lit(6.5).as("lat"), lit(1L).as("ver")))
+    // merge 1: LOCALIZED inserts (one cell) — exactly one bucket rewritten,
+    // the others carried by REFERENCE (same data paths, no rewrite)
+    val v2 = TableLog.mergeClustered(ins, dir, "id", "cell")
+    assert(v2.buckets.keySet === v1.buckets.keySet)
+    val carried = v2.buckets.count { case (k, m) => v1.buckets(k).path == m.path }
+    assert(carried === 3, s"expected 3 of 4 buckets carried, got $carried")
+    assert(TableLog.read(spark, dir).count() === 2010)
+    // merge 2: scattered updates — matched keys replaced, no stale rows
+    val v3 = TableLog.mergeClustered(upd, dir, "id", "cell")
+    val now = TableLog.read(spark, dir)
+    assert(now.count() === 2010)
+    assert(now.filter(col("ver") === 1L).count() === 510)
+    assert(now.filter(col("id") % 4 === 0 && col("id") < 2000 && col("ver") === 0L).count() === 0)
+    // time travel: v1 still shows the pre-merge rows
+    val old = TableLog.readAt(spark, dir, v1.snapshot)
+    assert(old.count() === 2000)
+    assert(old.filter(col("ver") === 1L).count() === 0)
+    // compaction re-clusters into fresh tight buckets; data unchanged
+    val v4 = TableLog.compactClustered(spark, dir, "cell", buckets = 4)
+    assert(v4.buckets.values.forall(m => m.cellMin.isDefined))
+    val compacted = TableLog.read(spark, dir)
+    assert(compacted.count() === 2010)
+    assert(compacted.select("id").as[Long].collect().toSet ===
+      now.select("id").as[Long].collect().toSet)
+    assert(v3.snapshot > v2.snapshot && v4.snapshot > v3.snapshot)
+  }
+
   test("commit is atomic: _current always points at a complete manifest") {
     import spark.implicits._
     val t = freshTable()
