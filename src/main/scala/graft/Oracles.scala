@@ -283,6 +283,8 @@ object Oracles {
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
+    "q38_contamination" -> TextStats.contaminationSql(),
+    "q39_pii_redact" -> TextStats.redactPiiSql,
 
     // q57: the pruned read must return EXACTLY the bbox rows — the oracle
     // replays only the exact filter over the same closed-form node layer,

@@ -178,6 +178,11 @@ object SparkEntry {
     "q26_fingerprint" -> ((s, dir) => TextStats.fingerprints(t(s, dir, "documents"))),
     // Cavnar-Trenkle rank-order trigram classifier (seed-derived profiles)
     "q37_langid_ngram" -> ((s, dir) => TextStats.langIdNgram(t(s, dir, "documents"))),
+    // eval-benchmark decontamination: shared-shingle scan vs a broadcast probe set
+    "q38_contamination" -> ((s, dir) => TextStats.contamination(t(s, dir, "documents"))),
+    // PII scrub over documents + planted-PII rows (real rows prove no overfire)
+    "q39_pii_redact" -> ((s, dir) => TextStats.redactPii(
+      TextStats.piiCorpus(t(s, dir, "documents")))),
     "q35_token_count" -> ((s, dir) => TextStats.bpeTokens(t(s, dir, "documents"))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
 

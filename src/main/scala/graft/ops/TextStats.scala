@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -221,6 +221,106 @@ object TextStats {
        |    AND ok_distinct = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
        | FROM v""".stripMargin.replace("\n", " ")
   }
+
+  // ---------------- benchmark decontamination ----------------
+
+  /** Benchmark probe shingles (stand-in for a held-out eval set's n-grams;
+    * a real pipeline loads these from the benchmark corpus). Word
+    * 3-shingles, same shingling as the dedup suite. */
+  val ProbeShingles: Seq[String] = Seq(
+    "slow hash batch", "row column sort", "stream table hash",
+    "window fast query", "the quick brown")
+
+  /** Test-set contamination scan: flag every document sharing >= 1 word
+    * 3-shingle with the probe set — the decontamination pass a training
+    * pipeline runs against its eval benchmarks before training. The probe
+    * set is tiny (benchmark-sized), so it broadcasts; the document side
+    * streams through exactly once (explode -> semi-join -> groupBy with
+    * partial agg). Output one row per doc: n_hits (distinct probe
+    * shingles present) and hit01. */
+  def contamination(docs: DataFrame, probes: Seq[String] = ProbeShingles): DataFrame = {
+    val probeDf = docs.sparkSession.createDataFrame(
+      probes.distinct.map(Tuple1(_))).toDF("sh")
+    val hits = docs.select(col("doc_id"), explode(graft.ops.Dedup.shingleArr).as("sh"))
+      .distinct()
+      .join(broadcast(probeDf), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L).as("hit01"))
+  }
+
+  def contaminationSql(probes: Seq[String] = ProbeShingles): String = {
+    val values = probes.distinct.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+       | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |   FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 1))) AS i FROM toks)),
+       | probes(sh) AS (VALUES $values),
+       | hits AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN probes USING (sh) GROUP BY 1)
+       | SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |   CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS hit01
+       | FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  // ---------------- PII redaction ----------------
+
+  /** Class-only regexes — identical semantics in Java regex and DuckDB RE2,
+    * so the redacted text is oracle-comparable byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Re = "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
+  val PhoneRe = "\\+[0-9][0-9 -]{7,14}[0-9]"
+
+  /** The synthetic corpus carries no PII, so the oracle-checked query runs
+    * over documents UNION planted-PII rows (every doc_id % 7 == 0 mirrored
+    * at +2000000 with an email, an IP, and a phone prepended) — both
+    * engines synthesize the identical rows, and the real rows prove the
+    * patterns do NOT overfire. */
+  def piiCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 2000000).as("doc_id"),
+        concat(lit("contact user"), col("doc_id"), lit("@example.com at 10."),
+          col("doc_id") % 200, lit(".3.4 call +1 555 01"), col("doc_id") % 10,
+          lit("0 "), col("text")).as("text")))
+
+  val piiCorpusSql: String =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 2000000 AS doc_id, " +
+      "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.' || " +
+      "CAST(doc_id % 200 AS VARCHAR) || '.3.4 call +1 555 01' || " +
+      "CAST(doc_id % 10 AS VARCHAR) || '0 ' || text AS text " +
+      "FROM documents WHERE doc_id % 7 = 0)"
+
+  /** PII scrub: replace emails / IPv4s / phone-like sequences with typed
+    * placeholders, count each replacement class (the audit trail a
+    * pipeline keeps). Pure regexp column plan — codegen, linear scan,
+    * no shuffle. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    def nMatches(c: Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      nMatches(col("text"), EmailRe).as("n_email"),
+      nMatches(col("text"), Ipv4Re).as("n_ip"),
+      nMatches(col("text"), PhoneRe).as("n_phone"))
+  }
+
+  val redactPiiSql: String =
+    s"""SELECT doc_id,
+       | regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '<EMAIL>', 'g'),
+       |   '$Ipv4Re', '<IP>', 'g'),
+       |   '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone
+       | FROM $piiCorpusSql pc""".stripMargin.replace("\n", " ")
 
   /** Winnowing fingerprints: polynomial rolling hash over token windows of
     * `w`, keep the minimum hash of every `g`-window band (robust, order-

@@ -263,6 +263,29 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(short === ((1L, "de", (TextStats.TopN * TextStats.TopN).toLong)))
   }
 
+  test("contamination: shared probe shingle flags the doc, clean doc passes") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "xx slow hash batch yy"),        // contains probe "slow hash batch"
+      (2L, "totally unrelated clean words here"),
+      (3L, "slow hash batch row column sort")) // two probes
+      .toDF("doc_id", "text")
+    val r = TextStats.contamination(d).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
+  }
+
+  test("PII redaction: emails/IPs/phones replaced with placeholders, counts audit") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@foo-bar.org or 192.168.0.1 call +1 555 0100 end"),
+      (2L, "no pii here just words 3.14 and + signs"))
+      .toDF("doc_id", "text")
+    val r = TextStats.redactPii(d).as[(Long, String, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(r(0) === ((1L, "mail <EMAIL> or <IP> call <PHONE> end", 1L, 1L, 1L)))
+    assert(r(1) === ((2L, "no pii here just words 3.14 and + signs", 0L, 0L, 0L)))
+  }
+
   test("BPE-ish token counts: letter runs, digit runs, symbols") {
     import spark.implicits._
     val d = Seq((1L, "hello world2 x-y: 3.14 don't")).toDF("doc_id", "text")
