@@ -37,7 +37,17 @@ object SparkEntry {
   private val clusteredTables = scala.collection.concurrent.TrieMap.empty[String, String]
   private def clusteredNodes(s: SparkSession, dir: String): String =
     clusteredTables.getOrElseUpdate(dir, {
-      val t = java.nio.file.Files.createTempDirectory("graft_q57").toString + "/nodes"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q57")
+      // tmpdir sits on tmpfs: an abandoned clustered copy per JVM is leaked
+      // RAM — delete on exit, same pattern as FileFixtures.fixtureDir
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        try rm(tmp.toFile) catch { case _: Throwable => () }
+      }))
+      val t = tmp.toString + "/nodes"
       val pts = OsmElements.nodes(s, dir).select(col("node_id"), col("lon"), col("lat"))
         .withColumn("cell", graft.table.SpatialLayout.cellCol(col("lon"), col("lat"), level = 8))
       graft.table.TableLog.writeClustered(pts, t, "overwrite", srid = 4326,

@@ -73,6 +73,15 @@ object Dedup {
   val Bands = 3
   val RowsPerBand = 4
 
+  /** LSH band-key structs (band, bkey) over signature columns m0..m11 —
+    * ONE definition shared by the batch bucket join and the streaming band
+    * explode: stream-vs-batch pair parity depends on byte-identical keys. */
+  private[graft] def bandKeyStructs: Seq[Column] = (0 until Bands).map { b =>
+    val key = concat_ws("_",
+      (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string")): _*)
+    struct(lit(b).as("band"), key.as("bkey"))
+  }
+
   private def minhashSig(tokenIds: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min((col("tid") * HashA(i) + HashB(i)) % P).as(s"m$i"))
@@ -89,12 +98,8 @@ object Dedup {
     // vocab->sig pipeline on BOTH sides (measured: zero ReusedExchange in
     // the executed plan, 2x wall time).
     val sigs = sigs0.localCheckpoint(false)
-    val bandStructs = (0 until Bands).map { b =>
-      val key = concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string")): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
     val all = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandKeyStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // heavy-hitter guard: a bucket of n docs emits n(n-1)/2 pairs — one hot
     // bucket (boilerplate band key) can dominate the whole job at 100 TB.

@@ -128,14 +128,22 @@ object Media {
       var fmt: Option[(Int, Int, Int)] = None // (channels, rate, blockAlign)
       while (o + 8 <= b.length) {
         val len = le32(b, o + 4)
-        // malformed guard (same as aviFrames): a negative length would stall
-        // the walk forever, an overlong one reads past the buffer
-        if (len < 0 || o + 8 + len > b.length) return None
-        if (ascii(b, o, "fmt ") && len >= 16)
-          fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 20)))
-        else if (ascii(b, o, "data"))
+        // a negative length would stall the walk forever
+        if (len < 0) return None
+        // `data` needs only its DECLARED length (content never read), so a
+        // truncated-in-flight file still yields its header info
+        if (ascii(b, o, "data"))
           return fmt.collect { case (ch, rate, ba) if ba > 0 => (len / ba, rate, ch) }
-        o += 8 + len + (len & 1) // chunks are word-aligned
+        // fmt fields are read from the buffer: bounds-check in LONG math —
+        // o + 8 + len wraps negative in Int for len near 2^31 (the same
+        // overflow PngCodec guards against)
+        if (ascii(b, o, "fmt ") && len >= 16) {
+          if (o.toLong + 24L > b.length) return None
+          fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 20)))
+        }
+        val next = o.toLong + 8L + len + (len & 1) // chunks are word-aligned
+        if (next > Int.MaxValue) return None
+        o = next.toInt
       }
       None
     }

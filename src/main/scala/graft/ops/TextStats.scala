@@ -241,8 +241,7 @@ object TextStats {
   def contamination(docs: DataFrame, probes: Seq[String] = ProbeShingles): DataFrame = {
     val probeDf = docs.sparkSession.createDataFrame(
       probes.distinct.map(Tuple1(_))).toDF("sh")
-    val hits = docs.select(col("doc_id"), explode(graft.ops.Dedup.shingleArr).as("sh"))
-      .distinct()
+    val hits = graft.ops.Dedup.shingled(docs)
       .join(broadcast(probeDf), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     docs.select("doc_id").join(hits, Seq("doc_id"), "left")

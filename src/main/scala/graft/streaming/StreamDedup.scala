@@ -53,15 +53,11 @@ object StreamDedup {
         (pmod(xxhash64(s), lit(Dedup.P)) * Dedup.HashA(i) + Dedup.HashB(i)) % Dedup.P))
         .as(s"m$i")
     }
-    val bandStructs = (0 until Dedup.Bands).map { b =>
-      val key = concat_ws("_", (0 until Dedup.RowsPerBand).map(r =>
-        col(s"m${b * Dedup.RowsPerBand + r}").cast("string")): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
     docs
       .select(col("doc_id") +: col("ts") +: sigs: _*)
       .filter(col("m0").isNotNull) // < 3 tokens -> empty shingle array -> null min
-      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("ts"),
+        explode(array(Dedup.bandKeyStructs: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("doc_id"), col("ts"))
   }
 

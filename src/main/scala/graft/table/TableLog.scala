@@ -187,31 +187,54 @@ object TableLog {
     * query must not scan the planet. */
   def writeClustered(df: DataFrame, table: String, mode: String, srid: Int,
                      cellCol: String, buckets: Int = 8): Snapshot = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
     require(buckets >= 1, "buckets must be >= 1")
     val base = mode match {
       case "fail" =>
         if (exists(table)) throw graft.GraftError.TableExists(table)
         None
-      case "overwrite" => current(table).map(_.copy(buckets = Map.empty))
+      case "overwrite" => current(table)
       case m => throw graft.GraftError.InvalidMode(m)
     }
+    // materialize ONCE: quantiles, routing counts, and every slice write
+    // would otherwise re-execute the caller's full lineage (buckets + 2
+    // times); same discipline as Dedup's shared-subtree checkpoints
+    val src = df.localCheckpoint(false)
     val bounds =
       if (buckets == 1) Array.empty[Double]
-      else df.stat.approxQuantile(cellCol,
+      else src.stat.approxQuantile(cellCol,
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
-    val slices = (0 to bounds.length).map { i =>
-      val loPred = if (i == 0) None else Some(col(cellCol) > bounds(i - 1))
-      val hiPred = if (i == bounds.length) None else Some(col(cellCol) <= bounds(i))
-      val pred = (loPred.toSeq ++ hiPred.toSeq).reduceOption(_ && _)
-      f"cell-$i%04d" -> pred.map(df.filter).getOrElse(df)
+    val sliceIdx = bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
+      when(col(cellCol) > b, i + 1).otherwise(acc)
     }
-    var snap = base.getOrElse(
-      Snapshot(0L, None, "", srid, mode, System.currentTimeMillis(), Map.empty))
-    slices.foreach { case (bucket, slice) =>
-      snap = commitBucket(table, snap, bucket,
-        slice.sortWithinPartitions(cellCol), mode, srid, cellCol = Some(cellCol))
+    val idxed = src.withColumn("_zc_b", sliceIdx)
+    // skewed data can leave quantile slices EMPTY (e.g. one hot cell past
+    // the top boundary); one routing job finds the non-empty ones — an
+    // empty bucket would carry no cell stats and poison mergeClustered
+    val present = idxed.groupBy("_zc_b").agg(count(lit(1)))
+      .collect().map(_.getInt(0)).sorted
+    // write every slice dir at snapshot+1 FIRST, then commit ONE snapshot:
+    // per-slice commits would expose a partial table to concurrent readers
+    // (and strand one on a mid-write crash) in overwrite/compaction mode
+    val next = base.map(_.snapshot).getOrElse(0L) + 1
+    var bucketMap = Map.empty[String, BucketMeta]
+    present.foreach { i =>
+      val name = f"cell-$i%04d"
+      val t0 = System.currentTimeMillis()
+      val path = f"$table/data/bucket=$name/v=$next%08d"
+      idxed.filter(col("_zc_b") === i).drop("_zc_b")
+        .sortWithinPartitions(cellCol)
+        .write.mode("overwrite").parquet(path)
+      val r = df.sparkSession.read.parquet(path)
+        .agg(count(lit(1)), min(col(cellCol)), max(col(cellCol))).head()
+      bucketMap += (name -> BucketMeta(path, r.getLong(0),
+        System.currentTimeMillis() - t0,
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
     }
+    val snap = Snapshot(next, base.map(_.snapshot), df.schema.toDDL, srid, mode,
+      System.currentTimeMillis(), bucketMap)
+    commit(table, snap)
     snap
   }
 
@@ -238,7 +261,9 @@ object TableLog {
     val bucketIdx = ordered.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, ((_, m), i)) =>
       when(col(cellCol) >= m.cellMin.get, i).otherwise(acc)
     }
-    val routed = df.withColumn("_mrg_b", bucketIdx)
+    // materialized once: the routing count + every affected bucket's write
+    // otherwise re-execute the incoming lineage per bucket
+    val routed = df.withColumn("_mrg_b", bucketIdx).localCheckpoint(false)
     // ONE job finds the affected buckets (small result: at most #buckets rows)
     val affected = routed.groupBy("_mrg_b").agg(count(lit(1)))
       .collect().map(_.getInt(0)).toSet

@@ -103,6 +103,13 @@ class MediaSpec extends AnyFunSuite with SparkTest {
     val overLen = "RIFF0000WAVE".getBytes("ASCII") ++
       "fmt ".getBytes("ASCII") ++ Array[Byte](0x40, 0, 0, 0) ++ new Array[Byte](4)
     assert(Media.HeaderDecoder.parseWav(overLen) === None)
+    // a wrap-length chunk (len near 2^31) must not slip past the guard
+    val wrapLen = "RIFF0000WAVE".getBytes("ASCII") ++
+      "junk".getBytes("ASCII") ++ Array[Byte](-12, -1, -1, 0x7f) ++ new Array[Byte](16)
+    assert(Media.HeaderDecoder.parseWav(wrapLen) === None)
+    // a file truncated INSIDE the data chunk still yields its header info
+    // (data content is never read, only its declared length)
+    assert(Media.HeaderDecoder.parseWav(b.dropRight(10)) === Some((37, 16000, 2)))
     // javax.sound golden: the synthesized WAV is a REAL parseable wave file
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(b))

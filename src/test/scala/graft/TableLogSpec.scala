@@ -231,6 +231,32 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
     assert(TableLog.prunedBuckets(plain, ranges).size === 1)
   }
 
+  test("writeClustered on skewed data: empty quantile slices dropped, one atomic commit, merge works") {
+    import org.apache.spark.sql.functions._
+    import graft.table.SpatialLayout
+    val dir = Files.createTempDirectory("graft-skew").toString + "/pts"
+    def withCell(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cell", SpatialLayout.cellCol(col("lon"), col("lat"), 8))
+    // 2/3 of rows in ONE hot cell at the top of the morton range: quantile
+    // boundaries collide with max(cell), so trailing slices are EMPTY — they
+    // must be dropped, not committed as statless buckets
+    val hot = spark.range(1000).select(col("id"), lit(179.9).as("lon"), lit(89.9).as("lat"))
+    val spread = spark.range(5000, 5500).select(col("id"),
+      (col("id") % 300 - 150.0).as("lon"), (col("id") % 150 - 75.0).as("lat"))
+    val v1 = TableLog.writeClustered(withCell(hot.unionByName(spread)),
+      dir, "fail", 4326, "cell", buckets = 4)
+    assert(v1.buckets.nonEmpty)
+    assert(v1.buckets.values.forall(m => m.cellMin.isDefined && m.cellMax.isDefined))
+    assert(v1.buckets.values.map(_.rows).sum === 1500L)
+    assert(v1.snapshot === 1L, "one atomic commit, not one per slice")
+    // merge must accept the table (no statless bucket poisons routing)
+    val v2 = TableLog.mergeClustered(
+      withCell(spark.range(9000, 9001).select(col("id"), lit(0.5).as("lon"), lit(0.5).as("lat"))),
+      dir, "id", "cell")
+    assert(TableLog.read(spark, dir).count() === 1501L)
+    assert(v2.snapshot === 2L)
+  }
+
   test("mergeClustered: copy-on-write touches only routed buckets; compact re-tightens") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
