@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps run output for bare JSON lines; sbt's default forked
+// OutputStrategy (LoggedOutput) prefixes every stdout line with "[info] ",
+// which breaks that parse (BENCH_r01 had rc=0 yet parsed:null for exactly
+// this reason). StdoutOutput passes the forked process's stdout through
+// verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,9 +116,18 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tMain0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain0) / 1e9
+    // Total wall-clock budget for this main (round-2 postmortem: the driver
+    // runs Bench under an external `timeout` — r02 hit rc=124 mid-scaling
+    // and the whole round lost its bench number). Phases check `remaining`
+    // before starting and degrade gracefully: the contract JSON line is
+    // printed IMMEDIATELY after the per-query phase so a later kill cannot
+    // zero the run.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1020").toDouble
+    def remaining: Double = budgetSec - elapsedSec
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val loN = math.max(1, cpus / 4)
     val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "1000").toInt
 
     // smoke mode: just the GeoJSON load phase
@@ -160,21 +169,30 @@ object Bench {
         spark1.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         if (ok) sec else -1.0
       }
-      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
+      // min over SUCCESSFUL samples; -1 only when every sample failed
+      // (a transient failure must not discard a good measurement)
+      val good = secs.filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
-    // fast iteration mode: per-query timings only, one JSON line, no
-    // pipeline/scaling phases and no BENCH.md rewrite
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Contract line, printed NOW: a later timeout loses only the enrichment
+    // phases, never the per-query numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
+    // fast iteration mode: per-query timings only, no pipeline/scaling
+    // phases and no BENCH.md rewrite
     if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"queries_only","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       spark1.stop()
       return
     }
 
     // --- in-JVM measurement at full parallelism (absolute throughput) ---
-    val (featsHi, secHi, idxHi) = timePipeline(spark1, sfDir, rep)
+    val inJvm: Option[(Long, Double, Double)] =
+      if (remaining > 240) Some(timePipeline(spark1, sfDir, rep)) else None
     // --- reference-baseline comparison: GeoJSON bulk load MB/s ---
-    val (loadMb, loadSec, loadMbps) = timeGeoJsonLoad(spark1)
+    val loaded: Option[(Double, Double, Double)] =
+      if (remaining > 120) Some(timeGeoJsonLoad(spark1)) else None
     spark1.stop()
 
     // --- executor-style scaling: 1 vs 4 worker PROCESSES (own JVM/heap
@@ -186,66 +204,132 @@ object Bench {
     // free cores instead of our workers — a real 4-executor cluster gives
     // each executor dedicated cores, which headroom approximates
     val wCores = math.max(1, cpus / 8)
-    // best-of-6 interleaved samples per level: this sandbox has co-tenant
-    // CPU bursts (same command varies 2x run-to-run), so the min wall time
-    // is the uncontended capability measurement. The 4-worker level needs
-    // 24 free cores vs 6, so contention biases AGAINST it. Two rules:
+    // interleaved best-of sample pairs per level: this sandbox has
+    // co-tenant CPU bursts (same command varies 2x run-to-run), so the min
+    // wall time is the uncontended capability measurement. The 4-worker
+    // level needs 24 free cores vs 6, so contention biases AGAINST it. Two
+    // rules:
     // (a) the 4-worker sample runs FIRST after each quiet wait — giving the
-    //     freshest quiet window to the level that needs the whole box (the
-    //     previous ordering ran 1-worker first, whose burst then kept the
-    //     1-min loadavg above threshold for the 4-worker sample);
+    //     freshest quiet window to the level that needs the whole box;
     // (b) the 1-worker sample uses a looser threshold (it needs 6 of 32
     //     cores; a decaying loadavg from our own finished 4-worker burst is
     //     not real contention).
+    // Round-2 postmortem: quiet-waits and 6 pairs blew the driver timeout,
+    // so the quiet-wait is now capped CUMULATIVELY and the pair loop is
+    // bounded by both a pair cap (default 2, early-stop unchanged) and the
+    // measured cost of the previous pair vs the remaining budget.
+    var quietBudgetMs = 45000L
     def awaitQuiet(threshold: Double): Unit = {
-      val t0 = System.currentTimeMillis()
       def load = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
-      try while (load > threshold && System.currentTimeMillis() - t0 < 60000) Thread.sleep(5000)
-      catch { case _: Throwable => () }
+      try while (load > threshold && quietBudgetMs > 0) {
+        Thread.sleep(5000); quietBudgetMs -= 5000
+      } catch { case _: Throwable => () }
     }
-    // up to 6 interleaved sample pairs with an EARLY STOP: host-level
-    // co-tenant bursts are invisible to loadavg (the same 4-worker phase
-    // measured 9.9 s and 31 s minutes apart), so min-of-samples is the only
-    // robust lever — but once the running best-of efficiency comfortably
-    // clears the 0.8 target, more samples only polish the number, so stop
-    // (keeps the driver's bench run bounded on a quiet box, keeps sampling
-    // on a noisy one)
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_PAIRS", "2").toInt
     val samples = scala.collection.mutable.ArrayBuffer.empty[BenchCluster.ClusterRun]
     var iter = 0
     var done = false
-    while (iter < 6 && !done) {
+    var lastPairSec = 0.0
+    // a first pair needs roughly warmup+timed at both levels; don't start
+    // one we can't finish
+    while (iter < maxPairs && !done &&
+           remaining > (if (iter == 0) 150 else lastPairSec * 1.3)) {
+      val tPair0 = System.nanoTime()
       Seq((4, 2.0), (1, 8.0)).foreach { case (w, thr) =>
         awaitQuiet(thr)
-        samples += BenchCluster.run(workers = w, cores = wCores, repTotal = rep, sfDir = sfDir)
+        try samples += BenchCluster.run(workers = w, cores = wCores, repTotal = rep, sfDir = sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] scaling sample ($w workers) failed: $e") }
       }
+      lastPairSec = (System.nanoTime() - tPair0) / 1e9
       iter += 1
-      if (iter >= 2) {
-        val bestHi = samples.filter(_.workers == 4).minBy(_.maxSec)
-        val bestLo = samples.filter(_.workers == 1).minBy(_.maxSec)
-        done = bestHi.fps / (4.0 * bestLo.fps) >= 0.95
-      }
+      val his = samples.filter(_.workers == 4)
+      val los = samples.filter(_.workers == 1)
+      if (his.nonEmpty && los.nonEmpty)
+        done = his.minBy(_.maxSec).fps / (4.0 * los.minBy(_.maxSec).fps) >= 0.95
     }
-    val lo = samples.filter(_.workers == 1).minBy(_.maxSec)
-    val hi = samples.filter(_.workers == 4).minBy(_.maxSec)
-    require(lo.feats == hi.feats, s"feature count drifted: ${lo.feats} vs ${hi.feats}")
-    val featsLo = lo.feats
-    val fpsHi = hi.fps
-    val fpsLo = lo.fps
-    val secLo = lo.maxSec
-    val secHiCluster = hi.maxSec
-    val eff = fpsHi / (4.0 * fpsLo)
+    val scaling: Option[(BenchCluster.ClusterRun, BenchCluster.ClusterRun)] = {
+      val his = samples.filter(_.workers == 4)
+      val los = samples.filter(_.workers == 1)
+      if (his.nonEmpty && los.nonEmpty) {
+        val lo = los.minBy(_.maxSec); val hi = his.minBy(_.maxSec)
+        if (lo.feats != hi.feats) {
+          System.err.println(s"[bench] feature count drifted: ${lo.feats} vs ${hi.feats}"); None
+        } else Some((lo, hi))
+      } else None
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val pipeline =
-      s"""{"features":$featsHi,"rep":$rep,"workerCores":$wCores,""" +
-        s""""sec1worker":$secLo,"sec4workers":$secHiCluster,"fps1worker":$fpsLo,"fps4workers":$fpsHi,""" +
-        s""""fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi,"scaling_efficiency":$eff}"""
-    val load =
+    val pipelineJson = (inJvm, scaling) match {
+      case (Some((featsHi, secHi, idxHi)), Some((lo, hi))) =>
+        val eff = hi.fps / (4.0 * lo.fps)
+        Some(s"""{"features":$featsHi,"rep":$rep,"workerCores":$wCores,""" +
+          s""""sec1worker":${lo.maxSec},"sec4workers":${hi.maxSec},"fps1worker":${lo.fps},"fps4workers":${hi.fps},""" +
+          s""""fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi,"scaling_efficiency":$eff}""")
+      case (Some((featsHi, secHi, idxHi)), None) =>
+        Some(s"""{"features":$featsHi,"rep":$rep,"fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi}""")
+      case _ => None
+    }
+    val loadJson = loaded.map { case (loadMb, loadSec, loadMbps) =>
       s"""{"mb":${f"$loadMb%.1f"},"sec":${f"$loadSec%.2f"},"mb_per_sec":${f"$loadMbps%.1f"},"reference_mb_per_sec":52}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline,"geojson_load":$load}""")
+    }
+    val extras = pipelineJson.map(p => s""","pipeline":$p""").getOrElse("") +
+      loadJson.map(l => s""","geojson_load":$l""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extras}""")
+    Console.out.flush()
 
+    val scalingMd = scaling.map { case (lo, hi) =>
+      val eff = hi.fps / (4.0 * lo.fps)
+      s"""## Scaling evidence (north rule: N vs 4N executors)
+         |
+         |No multi-node cluster exists in this sandbox (BASELINE.md), so the
+         |two cluster sizes are 1 vs 4 EXECUTOR PROCESSES — separate JVMs,
+         |own heap + GC each, `local[$wCores]` apiece — splitting the same
+         |input disjointly. This models executor scaling faithfully; a single
+         |shared-heap JVM at local[32] instead measures one collector
+         |fighting 32 task threads. Numbers are best-of-$iter interleaved
+         |sample pairs (bounded by a wall-clock budget of ${budgetSec.toInt} s
+         |with an early stop once efficiency clears 0.95); the 4-worker
+         |sample runs first after each quiet-loadavg wait (it needs
+         |4x$wCores cores; the sandbox has co-tenant CPU bursts that hit the
+         |wide level harder than the narrow one, so min wall = uncontended
+         |capability), and the worker width is capped at half the box so
+         |bursts overlap free cores, approximating the dedicated cores a
+         |real 4-executor cluster provides. A controlled quiet-box run
+         |measured efficiency 1.04 (354k -> 1,475k features/sec), i.e. the
+         |pipeline itself is embarrassingly parallel: no shuffle, no serial
+         |stage, broadcast-only dims.
+         |
+         || executors | cores each | wall sec (max worker) | features/sec |
+         ||---|---|---|---|
+         |""".stripMargin +
+        f"| 1 | $wCores | ${lo.maxSec}%.2f | ${lo.fps}%.0f |%n" +
+        f"| 4 | $wCores | ${hi.maxSec}%.2f | ${hi.fps}%.0f |%n" +
+        f"""%nfeatures = ${hi.feats} extracted entities;
+           |**scaling efficiency fps(4 executors) / (4 x fps(1 executor)) = $eff%.3f**
+           |(target >= 0.8, BASELINE.md).
+           |""".stripMargin
+    }.getOrElse("## Scaling evidence\n\nSkipped this run (wall-clock budget); see the last committed BENCH.md scaling table.\n")
+    val loadMd = loaded.map { case (loadMb, loadSec, loadMbps) =>
+      f"""## Bulk load vs the reference's headline metric
+         |
+         |GeoJSON bulk load (parse + validate + reproject 4326->3857 + WKB
+         |encode + snapshot-table sink, through the user-facing
+         |`SourceDispatch.readDir`): **$loadMb%.1f MB in $loadSec%.2f s =
+         |$loadMbps%.1f MB/s** on this box. The reference's published
+         |single-machine GeoJSON->PostGIS load derives to ~52 MB/s
+         |(BASELINE.md); same role (bulk file ingest into an analytic table),
+         |sink here is parquet snapshots instead of PostGIS COPY.
+         |""".stripMargin
+    }.getOrElse("")
+    val inJvmMd = inJvm.map { case (featsHi, secHi, idxHi) =>
+      f"""Also measured: single JVM at local[$cpus]: ${featsHi / secHi}%.0f features/sec.
+         |Broadcast-index build (once per job, driver-side, amortized over
+         |the whole table): $idxHi%.2f s.
+         |Methodology: prebuilt broadcast probes, one identical warmup run
+         |(JIT + codegen cache), timed second run via the `noop` sink (forces
+         |every column; a bare count() would let Catalyst prune the probes).
+         |""".stripMargin
+    }.getOrElse("")
     val md =
       s"""# BENCH — measured numbers (this engine)
          |
@@ -254,50 +338,9 @@ object Bench {
          |${"part"} polygons) -> kNN-${Pipeline.K} (broadcast POI grid) -> tile
          |assignment (z=${Pipeline.TileZ}). Input: `$sfDir`.
          |
-         |## Scaling evidence (north rule: N vs 4N executors)
-         |
-         |No multi-node cluster exists in this sandbox (BASELINE.md), so the
-         |two cluster sizes are 1 vs 4 EXECUTOR PROCESSES — separate JVMs,
-         |own heap + GC each, `local[$wCores]` apiece — splitting the same
-         |input disjointly. This models executor scaling faithfully; a single
-         |shared-heap JVM at local[32] instead measures one collector
-         |fighting 32 task threads. Numbers are best-of-(up to 6) interleaved samples
-         |per level; the 4-worker sample runs first after each quiet-loadavg
-         |wait (it needs 4x$wCores cores; the sandbox has co-tenant CPU
-         |bursts that hit the wide level harder than the narrow one, so min
-         |wall = uncontended capability), and the worker width is capped at
-         |half the box so bursts overlap free cores, approximating the
-         |dedicated cores a real 4-executor cluster provides. A controlled
-         |quiet-box run measured efficiency 1.04 (354k -> 1,475k
-         |features/sec), i.e. the pipeline itself is embarrassingly parallel:
-         |no shuffle, no serial stage, broadcast-only dims.
-         |
-         || executors | cores each | wall sec (max worker) | features/sec |
-         ||---|---|---|---|
-         || 1 | $wCores | ${f"$secLo%.2f"} | ${f"$fpsLo%.0f"} |
-         || 4 | $wCores | ${f"$secHiCluster%.2f"} | ${f"$fpsHi%.0f"} |
-         |
-         |features = ${featsHi} extracted entities;
-         |**scaling efficiency fps(4 executors) / (4 x fps(1 executor)) = ${f"$eff%.3f"}**
-         |(target >= 0.8, BASELINE.md).
-         |
-         |## Bulk load vs the reference's headline metric
-         |
-         |GeoJSON bulk load (parse + validate + reproject 4326->3857 + WKB
-         |encode + snapshot-table sink, through the user-facing
-         |`SourceDispatch.readDir`): **${f"$loadMb%.1f"} MB in ${f"$loadSec%.2f"} s =
-         |${f"$loadMbps%.1f"} MB/s** on this box. The reference's published
-         |single-machine GeoJSON->PostGIS load derives to ~52 MB/s
-         |(BASELINE.md); same role (bulk file ingest into an analytic table),
-         |sink here is parquet snapshots instead of PostGIS COPY.
-         |
-         |Also measured: single JVM at local[$cpus]: ${f"${featsHi / secHi}%.0f"} features/sec.
-         |Broadcast-index build (once per job, driver-side, amortized over
-         |the whole table): ${f"$idxHi%.2f"} s.
-         |Methodology: prebuilt broadcast probes, one identical warmup run
-         |(JIT + codegen cache), timed second run via the `noop` sink (forces
-         |every column; a bare count() would let Catalyst prune the probes).
-         |
+         |""".stripMargin +
+      scalingMd + "\n" + loadMd + "\n" + inJvmMd +
+      s"""
          |## Per-query wall seconds (local[$cpus], sf dir `$sfDir`)
          |
          || query | sec |

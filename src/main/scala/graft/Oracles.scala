@@ -70,8 +70,13 @@ object Oracles {
         .mkString(" || '_' || ")
       s"SELECT $b AS band, $key AS bkey, doc_id FROM sigs"
     }.mkString(" UNION ALL ")
+    // bucket-size cap mirrors Dedup.MaxBucketDefault (heavy-hitter guard,
+    // on by default on the Spark side)
     s"""sigs AS (SELECT doc_id, $mins FROM tt GROUP BY doc_id),
-       | buckets AS ($bands),
+       | rawbuckets AS ($bands),
+       | bsz AS (SELECT band, bkey, count(*) AS n FROM rawbuckets GROUP BY band, bkey),
+       | buckets AS (SELECT r.band, r.bkey, r.doc_id FROM rawbuckets r
+       |   JOIN bsz USING (band, bkey) WHERE bsz.n <= ${Dedup.MaxBucketDefault}),
        | mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM buckets a
        |   JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
       .stripMargin.replace("\n", " ")
@@ -217,12 +222,18 @@ object Oracles {
          | SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sigs""".stripMargin.replace("\n", " ")
     },
 
+    // shingle doc-freq cap mirrors Dedup.MaxShingleFreqDefault (on by
+    // default on the Spark side); sizes are computed over the CAPPED
+    // shingle set, matching jaccardPairs' post-filter `sizes`
     "q23_jaccard_pairs" ->
       s"""WITH corpus AS ${Dedup.corpusSql},
          | tokarr AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a FROM corpus),
-         | sh AS (SELECT DISTINCT doc_id, sh FROM
+         | rawsh AS (SELECT DISTINCT doc_id, sh FROM
          |   (SELECT doc_id, array_to_string(a[i+1:i+3], ' ') AS sh FROM
          |     (SELECT doc_id, a, unnest(range(len(a) - 2)) AS i FROM tokarr WHERE len(a) >= 3) x) y),
+         | freq AS (SELECT sh, count(*) AS df FROM rawsh GROUP BY sh),
+         | sh AS (SELECT r.doc_id, r.sh FROM rawsh r JOIN freq USING (sh)
+         |   WHERE freq.df <= ${Dedup.MaxShingleFreqDefault}),
          | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
          | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -139,7 +139,9 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
-      AsofJoin.asof(clicks, views, "user_id", "ts", Seq("view_id"))
+      // bucketed variant: hot user keys split over 8 time-bucket window
+      // partitions (skew-safe); output contract identical to asof()
+      AsofJoin.asofBucketed(clicks, views, "user_id", "ts", Seq("view_id"))
         .filter(col("view_id").isNotNull) // inner-asof, matching the oracle
         .select("event_id", "user_id", "view_id")
     }),
@@ -277,7 +279,7 @@ object SparkEntry {
 
   /** DuckDB-runnable SQL for each query above; q26/q29/q30/q34/q44
     * intentionally omitted (hash-/float-order-dependent or
-    * approximate-by-design => rows-only check). 39 of 44 queries are
-    * oracle-checked. */
+    * approximate-by-design => rows-only check). All other queries are
+    * oracle-checked (rows + schema + value hash). */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -73,6 +73,15 @@ object Dedup {
   val Bands = 3
   val RowsPerBand = 4
 
+  /** Default heavy-hitter caps — ON by default (round-2 review: the
+    * uncapped forms are not the queries to run at 100 TB; one degenerate
+    * bucket/shingle shared by n docs emits n(n-1)/2 join rows). The caps
+    * are mirrored in the DuckDB oracle SQL ([[graft.Oracles]]) so the
+    * capped defaults are themselves hash-verified, not just the uncapped
+    * parity forms. */
+  val MaxBucketDefault = 1000
+  val MaxShingleFreqDefault = 1000
+
   /** LSH band-key structs (band, bkey) over signature columns m0..m11 —
     * ONE definition shared by the batch bucket join and the streaming band
     * explode: stream-vs-batch pair parity depends on byte-identical keys. */
@@ -153,14 +162,20 @@ object Dedup {
   /** Oracle-parity shingle ids: sh -> dense 1-based rank in sorted order. */
   def shVocab(sh: DataFrame): DataFrame = denseIds(sh, "sh")
 
-  /** MinHash-LSH candidate pairs over 3-shingles, oracle-parity ids. */
-  def minhashPairs(corpus: DataFrame): DataFrame = {
+  /** MinHash-LSH candidate pairs over 3-shingles, oracle-parity ids.
+    * Heavy-hitter bucket cap defaults ON ([[MaxBucketDefault]]); pass
+    * `maxBucket = None` for the uncapped form (quadratic in the hottest
+    * bucket — only for small-corpus exact comparisons). */
+  def minhashPairs(corpus: DataFrame,
+                   maxBucket: Option[Int] = Some(MaxBucketDefault),
+                   logDrops: Boolean = false): DataFrame = {
     // the shingle frame feeds BOTH the vocab build and the join probe;
     // Catalyst does not share the common subtree across the self-reference,
     // so materialize it once (lazy local checkpoint) instead of running the
     // corpus->explode->distinct derivation twice
     val sh = shingled(corpus).localCheckpoint(false)
-    bandPairs(minhashSig(sh.join(shVocab(sh), "sh").select("doc_id", "tid")))
+    bandPairs(minhashSig(sh.join(shVocab(sh), "sh").select("doc_id", "tid")),
+      maxBucket, logDrops)
   }
 
   /** Production variant: shingle id = xxhash64(sh) mod P, no global
@@ -292,8 +307,11 @@ object Dedup {
     * @param maxShingleFreq heavy-hitter guard: shingles appearing in more
     *   than this many docs are dropped from candidate generation (they make
     *   the inverted-index join quadratic in-bucket and carry ~no Jaccard
-    *   signal); dropped count is logged. None (oracle parity) = no cap. */
-  def jaccardPairs(corpus: DataFrame, maxShingleFreq: Option[Int] = None,
+    *   signal); dropped count is logged. Defaults ON
+    *   ([[MaxShingleFreqDefault]], mirrored in the oracle SQL); pass None
+    *   for the uncapped form. */
+  def jaccardPairs(corpus: DataFrame,
+                   maxShingleFreq: Option[Int] = Some(MaxShingleFreqDefault),
                    logDrops: Boolean = false): DataFrame = {
     // shs feeds three consumers (sizes, both self-join sides): materialize
     // once instead of deriving the explode+distinct three times

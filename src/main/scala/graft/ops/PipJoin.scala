@@ -101,11 +101,14 @@ object PipJoin {
           .otherwise(lit(0)))
       .drop("hot_cell")
 
-    val refine = udf((wkb: Array[Byte], lon: Double, lat: Double) =>
-      WkbCodec.read(wkb).contains(WkbCodec.point(lon, lat)))
+    // prepared-geometry LRU (per task thread): a dense cell delivers the
+    // same polygon to the refine thousands of times; without the cache the
+    // WKB parse + prepare per candidate pair dominates the join
+    val refine = udf((polyId: Long, wkb: Array[Byte], lon: Double, lat: Double) =>
+      graft.geom.PreparedCache.get(polyId, wkb).contains(WkbCodec.point(lon, lat)))
 
     saltedPts.join(saltedCover, Seq("cell", "salt"))
-      .filter(refine(col("geom"), col("lon"), col("lat")))
+      .filter(refine(col("poly_id"), col("geom"), col("lon"), col("lat")))
       .drop("cell", "salt", "geom", "cx", "cy", "r")
   }
 

@@ -29,6 +29,38 @@ class AsofExtentSpec extends AnyFunSuite with SparkTest {
     assert(lrows.length === got.size)
   }
 
+  test("asofBucketed == asof on a planted hot key, and the window splits it") {
+    import spark.implicits._
+    // one hot key (k=0) carrying 80% of rows, plus normal keys — the shape
+    // that serializes asof()'s single window partition
+    val left = (1 to 400).map(i =>
+      (i.toLong, if (i % 5 == 0) (i % 7).toLong + 1 else 0L, (i * 37L) % 1000))
+      .toDF("lid", "k", "ts")
+    val right = (1 to 300).map(i =>
+      (1000L + i, if (i % 5 == 0) (i % 7).toLong + 1 else 0L, (i * 53L) % 1000))
+      .toDF("rid", "k", "ts")
+    val r = right.select(col("k"), col("ts"), col("rid"))
+    val want = AsofJoin.asof(left, r, "k", "ts", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val bucketed = AsofJoin.asofBucketed(left, r, "k", "ts", Seq("rid"), nBuckets = 8)
+    val got = bucketed.select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got === want)
+    // skew evidence: the window partition spec includes the time bucket, so
+    // the hot key's rows spread over >1 window partition
+    val winSpecs = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.size == 2),
+      s"expected (key, bucket) window partitioning, got $winSpecs")
+    // and the hot key actually lands in >1 bucket on this data
+    val hotBuckets = AsofJoin.asofBucketed(left, r, "k", "ts", Seq("rid"), nBuckets = 8)
+      .filter(col("k") === 0)
+    assert(hotBuckets.count() > 0)
+    val nb = left.filter(col("k") === 0)
+      .select((col("ts") * 8 / 1000).cast("int")).distinct().count()
+    assert(nb > 1, "planted hot key should span multiple time buckets")
+  }
+
   test("st_extent aggregate: bbox union per group, map-side-combinable, SQL-registered") {
     import spark.implicits._
     val df = Seq(
