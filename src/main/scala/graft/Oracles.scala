@@ -133,6 +133,22 @@ object Oracles {
          |   SELECT url, ent_idx, poi_id, row_number() OVER (PARTITION BY url, ent_idx ORDER BY d2, poi_id) AS rnk
          |   FROM d) WHERE rnk <= ${Pipeline.K}""".stripMargin.replace("\n", " "),
 
+    // brute-force haversine kNN: ordering by the haversine TERM (monotone
+    // in central angle) — same formula shape as PoiGrid.hav; ties broken by
+    // poi_id. sin/cos differ at most in the last ulp between engines, and
+    // the synthetic layers have no near-degenerate distance ties, so the
+    // ranking is stable (validated empirically at sf0.01 and sf0.1).
+    "q59_knn_geodesic" ->
+      s"""WITH $entsCte, $poisCte,
+         | d AS (SELECT e.url, e.ent_idx, p.poi_id,
+         |   sin(radians($eLat - p.py) / 2) * sin(radians($eLat - p.py) / 2)
+         |   + cos(radians($eLat)) * cos(radians(p.py))
+         |     * sin(radians($eLon - p.px) / 2) * sin(radians($eLon - p.px) / 2) AS hv
+         |   FROM ents e CROSS JOIN pois p)
+         | SELECT url, ent_idx, rnk AS knn_rank, poi_id FROM (
+         |   SELECT url, ent_idx, poi_id, row_number() OVER (PARTITION BY url, ent_idx ORDER BY hv, poi_id) AS rnk
+         |   FROM d) WHERE rnk <= ${Pipeline.K}""".stripMargin.replace("\n", " "),
+
     "q16_tiles" ->
       s"""WITH $entsCte SELECT url, ent_idx, CAST(${Pipeline.TileZ} AS BIGINT) AS tile_z,
          | ${TileAssign.tileXSql(eLon, Pipeline.TileZ)} AS tile_x,
@@ -308,6 +324,39 @@ object Oracles {
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
     "q43_shapefile_dsv2" -> graft.sources.FileFixtures.shapefileOracle,
     "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,
+    "q60_pbf_relations" -> graft.sources.FileFixtures.pbfRelOracle,
+
+    // multiprobe LSH top-k, fully replicated: same planes, same 79 probe
+    // masks (shared Scala constant), same integer rerank, same (dot DESC,
+    // nn_id) tie-break as TopKByScore — deterministic end to end, so the
+    // "approximate" path is hash-checked, not merely rows-only
+    "q34_ann_topk_lsh" -> {
+      val masks = Ann.probeMasks(2).mkString(", ")
+      s"""WITH $quantElsCte,
+         | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr
+         |   FROM els e CROSS JOIN (SELECT unnest(range(${Ann.NumPlanes})) AS j) p GROUP BY 1, 2),
+         | buckets AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |   FROM proj GROUP BY vec_id),
+         | masks AS (SELECT unnest([$masks]) AS mask),
+         | probes AS (SELECT b.vec_id AS query_id, xor(b.bucket, CAST(m.mask AS BIGINT)) AS pbucket
+         |   FROM buckets b CROSS JOIN masks m WHERE b.vec_id % 20 = 0),
+         | cand AS (SELECT p.query_id, c.vec_id AS nn_id FROM probes p
+         |   JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id),
+         | pdot AS (SELECT cd.query_id, cd.nn_id, CAST(sum(ea.x * eb.x) AS BIGINT) AS dot FROM cand cd
+         |   JOIN els ea ON ea.vec_id = cd.query_id JOIN els eb ON eb.vec_id = cd.nn_id AND eb.i = ea.i GROUP BY 1, 2)
+         | SELECT query_id, rnk AS rank, nn_id, dot FROM (
+         |   SELECT query_id, nn_id, dot, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nn_id) AS rnk
+         |   FROM pdot) WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+    },
+
+    // IVF recall contract: every planted mirror's rank-1 neighbor must be
+    // its original (identical vector => same nearest cell => always found;
+    // dot(q, orig) = |q|^2 beats every non-parallel candidate by
+    // Cauchy-Schwarz). The oracle is the contract itself: one row per
+    // mirror query with rank1_is_mirror = 1.
+    "q58_ivf_recall" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank1_is_mirror
+        | FROM embeddings WHERE vec_id % 20 = 0""".stripMargin.replace("\n", " "),
 
     "q28_lsh_neardup" ->
       s"""WITH $quantElsCorpusCte,

@@ -118,6 +118,16 @@ object SparkEntry {
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
           col("knn_rank").cast("long").as("knn_rank"), col("poi_id"))),
 
+    // geodesic kNN: same ring expansion, great-circle (haversine) metric —
+    // at the high latitudes in the entity layer the neighbor sets genuinely
+    // differ from q15's planar-degree ranking (lon degrees shrink by
+    // cos(lat)); hash-checked against a brute-force haversine oracle
+    "q59_knn_geodesic" -> ((s, dir) =>
+      KnnJoin.broadcastKnn(s, ents(s, dir), Layers.pois(s, dir), Pipeline.K,
+          Pipeline.CellLevel, geodesic = true)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+          col("knn_rank").cast("long").as("knn_rank"), col("poi_id"))),
+
     "q16_tiles" -> ((s, dir) =>
       TileAssign.assign(ents(s, dir), Pipeline.TileZ)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
@@ -213,6 +223,9 @@ object SparkEntry {
     "q40_geojson_scan" -> ((s, _) => sources.FileFixtures.geojsonScanQuery(s)),
     "q41_shapefile_scan" -> ((s, _) => sources.FileFixtures.shapefileScanQuery(s)),
     "q42_pbf_scan" -> ((s, _) => sources.FileFixtures.pbfScanQuery(s)),
+    // multipolygon relation assembly (superset of the reference's dropped
+    // Relation branch): ring stitching + hole nesting, WKB-golden checked
+    "q60_pbf_relations" -> ((s, _) => sources.FileFixtures.pbfRelQuery(s)),
     // same shapefile fixture through the split DataSource V2 scan
     "q43_shapefile_dsv2" -> ((s, _) => sources.FileFixtures.shapefileScanQueryV2(s)),
 
@@ -267,19 +280,33 @@ object SparkEntry {
     "q33_ann_topk_blocked" -> ((s, dir) =>
       Ann.topKBlocked(t(s, dir, "embeddings"), k = 5, qmod = 20)
         .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))),
-    // approximate sublinear path (multiprobe LSH) — rows-only by design
+    // sublinear multiprobe-LSH path — deterministic integer math, so the
+    // whole probe-join-rerank pipeline is hash-checked against a full
+    // DuckDB replica (approximate only relative to exhaustive search)
     "q34_ann_topk_lsh" -> ((s, dir) =>
       Ann.topKLsh(t(s, dir, "embeddings"), k = 5, qmod = 20)),
-    // approximate IVF path (k-means coarse quantizer) — rows-only by design
+    // approximate IVF path (k-means coarse quantizer) — rows-only by
+    // design (float k-means); its recall contract is oracle-checked by q58
     "q44_ann_topk_ivf" -> ((s, dir) =>
       Ann.topKIvf(t(s, dir, "embeddings"), k = 5, qmod = 20)),
+    // IVF recall contract over the mirrored corpus: rank-1 neighbor of
+    // every planted mirror must be its original — emitted as a checkable
+    // (query_id, rank1_is_mirror) table (oracle = the contract itself)
+    "q58_ivf_recall" -> ((s, dir) => {
+      val approx = Ann.topKIvf(Ann.corpus(t(s, dir, "embeddings")), k = 5, qmod = 1,
+        queryPred = Some(col("vec_id") >= 1000000 && col("vec_id") % 20 === 0))
+      approx.filter(col("rank") === 1)
+        .select(col("query_id"),
+          when(col("nn_id") === col("query_id") - 1000000, 1L).otherwise(0L)
+            .as("rank1_is_mirror"))
+    }),
     "q29_cosine_topk" -> ((s, dir) => Ann.cosineTopK(t(s, dir, "embeddings"), k = 5, qmod = 20)),
     "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
   )
 
-  /** DuckDB-runnable SQL for each query above; q26/q29/q30/q34/q44
-    * intentionally omitted (hash-/float-order-dependent or
-    * approximate-by-design => rows-only check). All other queries are
-    * oracle-checked (rows + schema + value hash). */
+  /** DuckDB-runnable SQL for each query above; q26/q29/q30/q44
+    * intentionally omitted (hash-/float-order-dependent => rows-only
+    * check; q44's recall contract is oracle-checked via q58). All other
+    * queries are oracle-checked (rows + schema + value hash). */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -39,6 +39,9 @@ object WkbCodec {
     factory.createPolygon(ring(exterior), holes.map(ring).toArray)
   }
 
+  def multiPolygon(polys: Seq[Polygon]): MultiPolygon =
+    factory.createMultiPolygon(polys.toArray)
+
   /** Axis-aligned "diamond" |x-cx|+|y-cy| <= r — used by the synthetic
     * polygon layers so the DuckDB oracle can express containment in
     * closed form while Spark runs the real JTS pipeline. */

@@ -127,21 +127,27 @@ object Ann {
       .select("vec_a", "vec_b", "dot")
   }
 
+  /** Bit-flip masks for multiprobe: every mask with <= probeRadius bits set
+    * (r=2 on 12 planes: 79 masks). Shared with the DuckDB oracle SQL so the
+    * probe set cannot drift between engines. */
+  def probeMasks(probeRadius: Int): Seq[Long] =
+    (0 until (1 << NumPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+      .map(_.toLong)
+
   /** Sublinear approximate top-k: multiprobe hyperplane LSH. Each query
     * probes its own bucket plus every bucket within Hamming distance <=
     * `probeRadius` of it (bit-flip masks exploded on the query side), so
     * the candidate join is an EQUI-join on bucket touching only
     * sum(C(NumPlanes,i), i<=r)/2^NumPlanes of the corpus (r=2 on 12
     * planes: 79/4096 ~ 2%) instead of all N. Exact integer rerank + bounded-heap
-    * top-k ([[TopKByScore]]) within candidates. Approximate by design —
-    * rows-only checked; the recall contract that matters for dedup-style
-    * use (an identical/near-identical vector shares the bucket, so a
-    * planted duplicate is ALWAYS found) is unit-tested deterministically. */
+    * top-k ([[TopKByScore]]) within candidates. "Approximate" relative to
+    * exhaustive search, but fully DETERMINISTIC integer math end to end —
+    * so the whole probe-join-rerank pipeline is replicated in DuckDB SQL
+    * and hash-checked (q34), not merely rows-only. */
   def topKLsh(embeddings: DataFrame, k: Int, qmod: Int, probeRadius: Int = 2): DataFrame = {
     val qb = withBucket(quantized(embeddings))
-    val masks = (0 until (1 << NumPlanes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
-      .map(_.toLong)
+    val masks = probeMasks(probeRadius)
     val cands = qb.select(col("vec_id").as("nn_id"), col("q").as("cq"), col("bucket"))
     val queries = qb.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -226,11 +232,17 @@ object Ann {
     * rerank + bounded-heap top-k. The candidate join is an EQUI-join on
     * cell id touching ~nprobe/nlist of the corpus — with per-cell heavy
     * skew handled by the same bounded-heap partial agg as the LSH path.
-    * Approximate by design => rows-only checked; the deterministic recall
-    * contract (an identical planted vector shares the nearest cell, so a
-    * mirror is ALWAYS found at rank 1) is unit-tested. */
+    * Approximate by design => rows-only checked (the k-means uses float
+    * avg, whose distributed sum order is not bit-pinned); the deterministic
+    * recall contract (an identical planted vector shares the nearest cell,
+    * so a mirror is ALWAYS found at rank 1) is unit-tested AND
+    * oracle-checked end-to-end by q58 over the mirrored corpus.
+    * @param queryPred overrides the `vec_id % qmod == 0` query-side filter
+    *                  (e.g. select only planted mirrors for the recall
+    *                  contract). */
   def topKIvf(embeddings: DataFrame, k: Int, qmod: Int, nlist: Int = 16,
-              nprobe: Int = 2, iters: Int = 3): DataFrame = {
+              nprobe: Int = 2, iters: Int = 3,
+              queryPred: Option[Column] = None): DataFrame = {
     val vecs = quantized(embeddings).select(col("vec_id"), col("q"),
         transform(col("q"), _.cast("double")).as("v"))
       .withColumn("vv", VectorExpressions.doubleDot(col("v"), col("v")))
@@ -239,7 +251,7 @@ object Ann {
       .select(col("vec_id").as("nn_id"), col("q").as("cq"), col("cid"))
     // nprobe nearest cells per query in pure column math: sort the per-row
     // (d2, cid) array, slice, explode — no join, no window shuffle
-    val queries = vecs.filter(col("vec_id") % qmod === 0)
+    val queries = vecs.filter(queryPred.getOrElse(col("vec_id") % qmod === 0))
       .withColumn("_pc", slice(array_sort(centDists(centLit(cents))), 1, nprobe))
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         explode(transform(col("_pc"), s => s.getField("cid"))).as("cid"))

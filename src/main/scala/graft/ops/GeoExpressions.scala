@@ -56,11 +56,14 @@ object GeoExpressions {
       PolyContainsExpr(ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), bc))
   }
 
-  /** (lon, lat) -> array<long> of the k nearest poi ids, ordered. */
-  def knnCol(spark: SparkSession, pois: DataFrame, k: Int, level: Int): (Column, Column) => Column = {
+  /** (lon, lat) -> array<long> of the k nearest poi ids, ordered.
+    * `geodesic = true` ranks by great-circle distance (haversine) instead
+    * of planar degrees — see [[PoiGrid]]. */
+  def knnCol(spark: SparkSession, pois: DataFrame, k: Int, level: Int,
+             geodesic: Boolean = false): (Column, Column) => Column = {
     val rows = pois.select("poi_id", "px", "py").collect()
     val grid = new PoiGrid(level, rows.map(_.getLong(0)),
-      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), geodesic)
     val bc = spark.sparkContext.broadcast(grid)
     (lon, lat) => ExpressionUtils.column(
       KnnPoisExpr(ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), bc, k))

@@ -7,9 +7,20 @@ import graft.index.CellGrid
 import scala.collection.mutable
 
 /** kNN join via cell-ring expansion (north-rule operator, SURVEY.md §2b):
-  * k nearest POIs per point, metric = planar squared distance in degrees
-  * (pure multiply/add — bit-identical between Spark and the DuckDB oracle;
-  * geodesic metrics are a later round).
+  * k nearest POIs per point. Two metrics:
+  *
+  *  - planar squared distance in degrees (pure multiply/add —
+  *    bit-identical between Spark and the DuckDB oracle; q15);
+  *  - geodesic (`geodesic = true`): great-circle ordering via the
+  *    haversine term h = sin^2(dLat/2) + cos(lat1)cos(lat2)sin^2(dLon/2),
+  *    which is monotone in central angle, so ordering by h ranks by true
+  *    spherical distance without the asin/sqrt. Ring probing wraps across
+  *    the antimeridian (the haversine is periodic; a clamped probe would
+  *    miss wrapped neighbors), and the termination bound is the exact
+  *    spherical distance to the nearest unvisited region: meridian arc to
+  *    the lat edges, cross-track distance asin(cos(lat)*|sin(dLon)|) to the
+  *    lon edges — both lower bounds to their box sides, so termination is
+  *    exact (results equal a full scan; hash-checked by q59).
   *
   * The POI layer is a dim table (10..10^6 rows), so the scale plan is a
   * broadcast grid index probed by a narrow map over the 10^12-point side —
@@ -20,10 +31,19 @@ import scala.collection.mutable
   * Ties broken by poi_id, making the top-k a total order.
   */
 class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
-              val ys: Array[Double]) extends Serializable {
+              val ys: Array[Double], val geodesic: Boolean = false)
+    extends Serializable {
   val n: Long = 1L << level
   val cellW: Double = 360.0 / n.toDouble
   val cellH: Double = 180.0 / n.toDouble
+
+  /** Haversine term — monotone in great-circle distance. */
+  private def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val sdLat = math.sin(math.toRadians(lat1 - lat2) / 2)
+    val sdLon = math.sin(math.toRadians(lon1 - lon2) / 2)
+    sdLat * sdLat +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * sdLon * sdLon
+  }
 
   @transient lazy val byCell: Map[Long, Array[Int]] = {
     val m = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
@@ -48,10 +68,18 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
     val bi = new Array[Long](kk)
     var size = 0
     def consider(i: Int): Unit = {
-      val dx = px - xs(i); val dy = py - ys(i)
-      val d2 = dx * dx + dy * dy
+      val d2 =
+        if (geodesic) hav(py, px, ys(i), xs(i))
+        else { val dx = px - xs(i); val dy = py - ys(i); dx * dx + dy * dy }
       val id = ids(i)
       if (size < kk || d2 < bd(size - 1) || (d2 == bd(size - 1) && id < bi(size - 1))) {
+        // geodesic rings wrap in x, and once 2r+1 > n a ring revisits cells
+        // probed by an earlier ring — skip a POI already in the buffer
+        // (k is small; this scan runs only for insert-worthy candidates)
+        if (geodesic) {
+          var j = 0
+          while (j < size) { if (bi(j) == id) return; j += 1 }
+        }
         var p = if (size < kk) size else size - 1
         while (p > 0 && (bd(p - 1) > d2 || (bd(p - 1) == d2 && bi(p - 1) > id))) {
           bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
@@ -60,11 +88,16 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
         if (size < kk) size += 1
       }
     }
-    def probe(x: Long, y: Long): Unit =
-      if (x >= 0 && x <= maxC && y >= 0 && y <= maxC) {
-        val arr = byCell.getOrElse((x << 32) | y, null)
+    def probe(x: Long, y: Long): Unit = {
+      // geodesic: wrap x across the antimeridian (the metric is periodic in
+      // lon; clamping would hide wrapped neighbors). planar: clamp (the
+      // planar metric has no wrap, matching its oracle).
+      val xw = if (geodesic) ((x % n) + n) % n else x
+      if (xw >= 0 && xw <= maxC && y >= 0 && y <= maxC) {
+        val arr = byCell.getOrElse((xw << 32) | y, null)
         if (arr != null) { var i = 0; while (i < arr.length) { consider(arr(i)); i += 1 } }
       }
+    }
 
     var r = 0L
     var done = false
@@ -81,11 +114,30 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
       val maxX = -180.0 + (cx + r + 1) * cellW
       val minY = -90.0 + (cy - r) * cellH
       val maxY = -90.0 + (cy + r + 1) * cellH
-      val dOut = math.min(math.min(px - minX, maxX - px), math.min(py - minY, maxY - py))
-      val coveredAll = cx - r <= 0 && cy - r <= 0 && cx + r >= maxC && cy + r >= maxC
-      if (coveredAll) done = true
-      else if (size >= kk && bd(size - 1) <= dOut * dOut) done = true
-      else r += 1
+      val xCovered =
+        if (geodesic) 2 * r + 1 >= n
+        else cx - r <= 0 && cx + r >= maxC
+      val yCovered = cy - r <= 0 && cy + r >= maxC
+      if (xCovered && yCovered) done = true
+      else if (geodesic) {
+        // exact spherical lower bounds to the unvisited region: meridian
+        // arc to the lat edges; cross-track distance to the (full) lon-edge
+        // meridians. Each bounds its box side from below, so stopping is
+        // never early. Compared in haversine units (sin^2(angle/2),
+        // monotone on [0, pi]).
+        val latAng = math.toRadians(math.min(py - minY, maxY - py))
+        val lonAng = math.asin(math.min(1.0, math.cos(math.toRadians(py)) *
+          math.abs(math.sin(math.toRadians(math.min(px - minX, maxX - px))))))
+        val bound =
+          if (xCovered) latAng
+          else if (yCovered) lonAng
+          else math.min(latAng, lonAng)
+        val s = math.sin(bound / 2)
+        if (size >= kk && bd(size - 1) <= s * s) done = true else r += 1
+      } else {
+        val dOut = math.min(math.min(px - minX, maxX - px), math.min(py - minY, maxY - py))
+        if (size >= kk && bd(size - 1) <= dOut * dOut) done = true else r += 1
+      }
     }
     java.util.Arrays.copyOf(bi, size)
   }
@@ -94,11 +146,11 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
 object KnnJoin {
 
   /** Collect + broadcast the POI layer, return a (lon,lat)->ordered ids UDF. */
-  def knnUdf(spark: SparkSession, pois: DataFrame, k: Int,
-             level: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  def knnUdf(spark: SparkSession, pois: DataFrame, k: Int, level: Int,
+             geodesic: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rows = pois.select("poi_id", "px", "py").collect()
     val grid = new PoiGrid(level, rows.map(_.getLong(0)),
-      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), geodesic)
     val bc = spark.sparkContext.broadcast(grid)
     udf((lon: Double, lat: Double) => bc.value.knn(lon, lat, k))
   }
@@ -106,8 +158,8 @@ object KnnJoin {
   /** points must carry (lon, lat); pois (poi_id, px, py). Output: point rows
     * + (knn_rank int starting at 1, poi_id long). */
   def broadcastKnn(spark: SparkSession, points: DataFrame, pois: DataFrame,
-                   k: Int, level: Int = 6): DataFrame = {
-    val knnUdf = GeoExpressions.knnCol(spark, pois, k, level)
+                   k: Int, level: Int = 6, geodesic: Boolean = false): DataFrame = {
+    val knnUdf = GeoExpressions.knnCol(spark, pois, k, level, geodesic)
     points
       .withColumn("knn", knnUdf(col("lon"), col("lat")))
       .select(col("*"), posexplode(col("knn")).as(Seq("knn_pos", "poi_id")))

@@ -308,4 +308,136 @@ object FileFixtures {
     Seq("way_id", "kind", "npts", "tag0"),
     pbfExpected.map { case (id, kind, npts, tag0) =>
       Seq(big(id), lit(kind), big(npts), lit(tag0)) })
+
+  // ====== q60: OSM multipolygon relations (superset of osmpbf.rs:102-109,
+  // the reference's commented-out Relation branch) ======
+  /** members: (member_id, type 0=node/1=way, role). */
+  final case class PbfRel(id: Long, members: Seq[(Long, Int, String)],
+                          tags: Seq[(String, String)])
+
+  private def rawDeg(d: Double): Long = math.round(d * 1e7)
+  /** EXACT mirror of OsmPbfReader's coord decode (granularity 100, no
+    * offset): Long inner arithmetic, then the single double multiply. */
+  private def decDeg(raw: Long): Double = 1e-9 * (100L * raw)
+
+  val relNodeCoords: Seq[(Long, Double, Double)] = Seq(
+    // outer square (rel 20)
+    (101L, 0.0, 0.0), (102L, 1.0, 0.0), (103L, 1.0, 1.0), (104L, 0.0, 1.0),
+    // inner hole square (rel 20)
+    (111L, 0.25, 0.25), (112L, 0.75, 0.25), (113L, 0.75, 0.75), (114L, 0.25, 0.75),
+    // hexagon split across two open ways (rel 21, stitch test)
+    (121L, 3.0, 0.0), (122L, 3.5, -0.5), (123L, 4.0, 0.0), (124L, 4.0, 1.0),
+    (125L, 3.5, 1.5), (126L, 3.0, 1.0),
+    // disjoint second outer square (rel 21)
+    (131L, 10.0, 10.0), (132L, 11.0, 10.0), (133L, 11.0, 11.0), (134L, 10.0, 11.0))
+
+  val relWays: Seq[PbfWay] = Seq(
+    PbfWay(30, Seq(101, 102, 103, 104, 101), Seq("area" -> "yes")), // closed outer
+    PbfWay(31, Seq(111, 112, 113, 114, 111), Nil), // closed inner
+    PbfWay(32, Seq(121, 122, 123, 124), Nil), // open half-hexagon
+    PbfWay(33, Seq(124, 125, 126, 121), Nil), // open half-hexagon (closes 32)
+    PbfWay(34, Seq(131, 132, 133, 134, 131), Nil), // closed outer
+    PbfWay(35, Seq(101, 102), Nil)) // dangling open way (never closes)
+
+  val relRels: Seq[PbfRel] = Seq(
+    // 1 outer + 1 hole
+    PbfRel(20, Seq((30L, 1, "outer"), (31L, 1, "inner")),
+      Seq("type" -> "multipolygon", "natural" -> "water")),
+    // 2 outers: one stitched from two open ways, one direct; node member
+    // (admin_centre) must be ignored
+    PbfRel(21, Seq((32L, 1, "outer"), (33L, 1, "outer"), (34L, 1, "outer"),
+      (101L, 0, "admin_centre")), Seq("type" -> "multipolygon")),
+    // not a multipolygon -> excluded entirely
+    PbfRel(22, Seq((30L, 1, "outer")), Seq("type" -> "route")),
+    // only an unclosable way -> no outer ring -> no output row
+    PbfRel(23, Seq((35L, 1, "outer")), Seq("type" -> "multipolygon")))
+
+  def writePbfRel(path: String): Unit = {
+    val roleStrings = relRels.flatMap(_.members.map(_._3))
+    val strings = ("" +: (relWays.flatMap(_.tags) ++ relRels.flatMap(_.tags))
+      .flatMap(t => Seq(t._1, t._2)).++(roleStrings).distinct).toIndexedSeq
+    val sIdx = strings.zipWithIndex.toMap
+    val st = new PbOut()
+    strings.foreach(s => st.bytes(1, s.getBytes("UTF-8")))
+
+    val groupN = new PbOut()
+    relNodeCoords.foreach { case (id, lon, lat) =>
+      val node = new PbOut()
+        .int(1, zig(id))
+        .int(8, zig(rawDeg(lat)))
+        .int(9, zig(rawDeg(lon)))
+      groupN.bytes(1, node.toBytes)
+    }
+    val groupW = new PbOut()
+    relWays.foreach { w =>
+      val way = new PbOut()
+        .int(1, w.id)
+        .packed(2, w.tags.map(t => sIdx(t._1).toLong))
+        .packed(3, w.tags.map(t => sIdx(t._2).toLong))
+        .packedZig(8, deltas(w.refs))
+      groupW.bytes(3, way.toBytes)
+    }
+    val groupR = new PbOut()
+    relRels.foreach { r =>
+      val rel = new PbOut()
+        .int(1, r.id) // Relation.id is int64 (no zigzag), like Way.id
+        .packed(2, r.tags.map(t => sIdx(t._1).toLong))
+        .packed(3, r.tags.map(t => sIdx(t._2).toLong))
+        .packed(8, r.members.map(m => sIdx(m._3).toLong)) // roles_sid
+        .packedZig(9, deltas(r.members.map(_._1))) // memids, delta sint64
+        .packed(10, r.members.map(_._2.toLong)) // types
+      groupR.bytes(4, rel.toBytes)
+    }
+
+    val block = new PbOut()
+      .bytes(1, st.toBytes)
+      .bytes(2, groupN.toBytes)
+      .bytes(2, groupW.toBytes)
+      .bytes(2, groupR.toBytes)
+      .int(17, 100)
+      .toBytes
+    val dataBlob = new PbOut().int(2, block.length).bytes(3, deflate(block)).toBytes
+    val headerBlob = new PbOut().bytes(1, Array.emptyByteArray).toBytes
+    val out = new ByteArrayOutputStream()
+    out.write(fileBlock("OSMHeader", headerBlob))
+    out.write(fileBlock("OSMData", dataBlob))
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+
+  /** Expected (rel_id, n_outer, n_inner, npts, wkb_md5) — WKB computed from
+    * the closed-form ring definitions (decode-parity coords), NEVER from
+    * the assembly op, so a stitching bug cannot self-verify. */
+  val pbfRelExpected: Seq[(Long, Long, Long, Long, String)] = {
+    val coord = relNodeCoords.map { case (id, lon, lat) =>
+      id -> (decDeg(rawDeg(lon)), decDeg(rawDeg(lat))) }.toMap
+    def ringOf(ids: Seq[Long]) = ids.map(coord)
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    val rel20 = graft.geom.WkbCodec.write(graft.geom.WkbCodec.multiPolygon(Seq(
+      graft.geom.WkbCodec.polygon(ringOf(Seq(101, 102, 103, 104, 101)),
+        Seq(ringOf(Seq(111, 112, 113, 114, 111)))))))
+    val rel21 = graft.geom.WkbCodec.write(graft.geom.WkbCodec.multiPolygon(Seq(
+      graft.geom.WkbCodec.polygon(ringOf(Seq(121, 122, 123, 124, 125, 126, 121))),
+      graft.geom.WkbCodec.polygon(ringOf(Seq(131, 132, 133, 134, 131))))))
+    Seq(
+      (20L, 1L, 1L, 10L, md5hex(rel20)),
+      (21L, 2L, 0L, 12L, md5hex(rel21)))
+  }
+
+  def pbfRelQuery(spark: SparkSession): DataFrame = {
+    val dir = fixtureDir("q60")(d => writePbfRel(s"$d/rel.osm.pbf"))
+    val path = s"$dir/rel.osm.pbf"
+    graft.ops.OsmRelationAssembly.assemble(spark,
+        OsmPbfReader.relations(spark, path),
+        OsmPbfReader.ways(spark, path),
+        OsmPbfReader.nodes(spark, path))
+      .select(col("rel_id"), col("n_outer"), col("n_inner"), col("npts"),
+        md5(col("geom")).as("wkb_md5"))
+  }
+
+  val pbfRelOracle: String = valuesSql(
+    Seq("rel_id", "n_outer", "n_inner", "npts", "wkb_md5"),
+    pbfRelExpected.map { case (id, no, ni, np, h) =>
+      Seq(big(id), big(no), big(ni), big(np), lit(h)) })
 }

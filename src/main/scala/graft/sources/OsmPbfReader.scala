@@ -57,6 +57,10 @@ object OsmPbfReader {
 
   final case class RawNode(id: Long, lon: Double, lat: Double, tags: Array[String])
   final case class RawWay(id: Long, refs: Array[Long], tags: Array[String])
+  /** memberTypes: 0=node, 1=way, 2=relation (OSMPBF Relation.MemberType). */
+  final case class RawRelation(id: Long, memberIds: Array[Long],
+                               memberTypes: Array[Int], roles: Array[String],
+                               tags: Array[String])
 
   /** Blob index entry: (offset of blob body, body length, type). */
   final case class BlobRef(offset: Long, length: Int, blobType: String)
@@ -130,9 +134,16 @@ object OsmPbfReader {
     } finally f.close()
   }
 
-  /** Parse one OSMData PrimitiveBlock into nodes/ways (relations ignored
-    * like the reference, osmpbf.rs:102-109). */
+  /** Parse one OSMData PrimitiveBlock into nodes/ways — the reference
+    * surface (relations dropped, osmpbf.rs:102-109). */
   def parsePrimitiveBlock(block: Array[Byte]): (Seq[RawNode], Seq[RawWay]) = {
+    val (n, w, _) = parsePrimitiveBlockFull(block); (n, w)
+  }
+
+  /** Full parse including Relations — the superset the reference comments
+    * out (osmpbf.rs:102-109): multipolygon assembly needs them
+    * ([[graft.ops.OsmRelationAssembly]]). */
+  def parsePrimitiveBlockFull(block: Array[Byte]): (Seq[RawNode], Seq[RawWay], Seq[RawRelation]) = {
     val pb = new Pb(block, 0, block.length)
     var strings: Array[String] = Array("")
     val groups = mutable.ArrayBuffer.empty[Pb]
@@ -160,6 +171,7 @@ object OsmPbfReader {
 
     val nodes = mutable.ArrayBuffer.empty[RawNode]
     val ways = mutable.ArrayBuffer.empty[RawWay]
+    val rels = mutable.ArrayBuffer.empty[RawRelation]
 
     def parseNode(g: Pb): Unit = {
       var id = 0L; var lat = 0L; var lon = 0L
@@ -218,16 +230,38 @@ object OsmPbfReader {
       ways += RawWay(id, refs.toArray, keys.zip(vals).map { case (k, v) => tag(k, v) }.toArray)
     }
 
+    def parseRelation(g: Pb): Unit = {
+      var id = 0L
+      val keys = mutable.ArrayBuffer.empty[Int]; val vals = mutable.ArrayBuffer.empty[Int]
+      val roles = mutable.ArrayBuffer.empty[Int]
+      val memids = mutable.ArrayBuffer.empty[Long]
+      val types = mutable.ArrayBuffer.empty[Int]
+      while (g.hasMore) g.key() match {
+        case (1, 0) => id = g.varint()
+        case (2, 2) => val p = g.lenDelim(); while (p.hasMore) keys += p.varint().toInt
+        case (3, 2) => val p = g.lenDelim(); while (p.hasMore) vals += p.varint().toInt
+        case (8, 2) => val p = g.lenDelim(); while (p.hasMore) roles += p.varint().toInt
+        case (9, 2) => // memids are delta-coded sint64, like way refs
+          val p = g.lenDelim(); var acc = 0L
+          while (p.hasMore) { acc += p.zigzag(); memids += acc }
+        case (10, 2) => val p = g.lenDelim(); while (p.hasMore) types += p.varint().toInt
+        case (_, w) => g.skip(w)
+      }
+      rels += RawRelation(id, memids.toArray, types.toArray,
+        roles.map(strings(_)).toArray,
+        keys.zip(vals).map { case (k, v) => tag(k, v) }.toArray)
+    }
+
     groups.foreach { g =>
       while (g.hasMore) g.key() match {
         case (1, 2) => parseNode(g.lenDelim())
         case (2, 2) => parseDense(g.lenDelim())
         case (3, 2) => parseWay(g.lenDelim())
-        case (4, 2) => g.lenDelim(); () // relations: ignored (reference parity)
+        case (4, 2) => parseRelation(g.lenDelim())
         case (_, w) => g.skip(w)
       }
     }
-    (nodes.toSeq, ways.toSeq)
+    (nodes.toSeq, ways.toSeq, rels.toSeq)
   }
 
   private val nodeSchema = StructType(Seq(
@@ -235,6 +269,12 @@ object OsmPbfReader {
     StructField("lat", DoubleType), StructField("tags", ArrayType(StringType))))
   private val waySchema = StructType(Seq(
     StructField("way_id", LongType), StructField("refs", ArrayType(LongType)),
+    StructField("tags", ArrayType(StringType))))
+  private val relSchema = StructType(Seq(
+    StructField("rel_id", LongType),
+    StructField("member_ids", ArrayType(LongType)),
+    StructField("member_types", ArrayType(IntegerType)),
+    StructField("member_roles", ArrayType(StringType)),
     StructField("tags", ArrayType(StringType))))
 
   /** (node_id, lon, lat, tags) — blobs parsed on executors. */
@@ -257,6 +297,18 @@ object OsmPbfReader {
           Row(w.id, w.refs.toSeq, w.tags.toSeq))
       }
     spark.createDataFrame(rdd, waySchema)
+  }
+
+  /** (rel_id, member_ids, member_types, member_roles, tags) — the superset
+    * element the reference drops; blobs parsed on executors. */
+  def relations(spark: SparkSession, path: String): DataFrame = {
+    val blobs = indexBlobs(path).filter(_.blobType == "OSMData")
+    val rdd = spark.sparkContext.parallelize(blobs, math.max(1, math.min(blobs.size, 64)))
+      .flatMap { ref =>
+        parsePrimitiveBlockFull(blobData(path, ref))._3.iterator.map(r =>
+          Row(r.id, r.memberIds.toSeq, r.memberTypes.toSeq, r.roles.toSeq, r.tags.toSeq))
+      }
+    spark.createDataFrame(rdd, relSchema)
   }
 
   /** Full reference dataflow: nodes + ways -> assembled way features

@@ -40,6 +40,29 @@ class OsmPbfSpec extends AnyFunSuite with SparkTest {
     assert(kinds.values.sum === 4944L)
   }
 
+  test("multipolygon relation assembly: fixture goldens + stitch rules") {
+    import spark.implicits._
+    val got = graft.sources.FileFixtures.pbfRelQuery(spark)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === graft.sources.FileFixtures.pbfRelExpected)
+  }
+
+  test("relation assembly on monaco: relations parse and some multipolygons assemble") {
+    assume(Files.exists(Paths.get(monaco)))
+    val rels = OsmPbfReader.relations(spark, monaco)
+    assert(rels.count() > 0)
+    val mp = graft.ops.OsmRelationAssembly.assemble(spark, rels,
+      OsmPbfReader.ways(spark, monaco), OsmPbfReader.nodes(spark, monaco))
+    val rows = mp.collect()
+    assert(rows.nonEmpty)
+    // every emitted relation has >= 1 outer ring and valid WKB
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outer") >= 1)
+      val g = graft.geom.WkbCodec.read(r.getAs[Array[Byte]]("geom"))
+      assert(g.getGeometryType === "MultiPolygon")
+    }
+  }
+
   test("tags are k=v strings from the string table") {
     assume(Files.exists(Paths.get(monaco)))
     import spark.implicits._

@@ -100,6 +100,40 @@ class SpatialOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("geodesic PoiGrid kNN == brute-force haversine (high lat, antimeridian wrap)") {
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val sdLat = math.sin(math.toRadians(lat1 - lat2) / 2)
+      val sdLon = math.sin(math.toRadians(lon1 - lon2) / 2)
+      sdLat * sdLat +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * sdLon * sdLon
+    }
+    // POIs deliberately hugging the antimeridian and high latitudes, plus a
+    // spread set — the cases where wrap + cos(lat) shrinkage matter
+    val special = Array((-179.9, 80.0), (179.8, 80.1), (-179.5, -75.0), (179.6, -74.8),
+      (0.0, 89.2), (120.0, 89.4), (-120.0, 89.1))
+    val spread = (1 to 60).map(i =>
+      (deterministic(i * 17, 7200) - 180.0, deterministic(i * 29 + 3, 3200) - 80.0))
+    val pts = special ++ spread
+    val ids = pts.indices.map(i => (i + 1).toLong).toArray
+    val xs = pts.map(_._1).toArray
+    val ys = pts.map(_._2).toArray
+    val grid = new PoiGrid(6, ids, xs, ys, geodesic = true)
+    val probes = Seq((-179.95, 79.9), (179.9, -74.9), (60.0, 89.0), (-0.05, 0.05),
+      (170.0, 85.0), (-170.0, -78.0)) ++
+      (0 until 100).map(j => (deterministic(j * 31 + 7, 7200) - 180.0,
+        deterministic(j * 37 + 1, 3200) - 80.0))
+    for ((px, py) <- probes; k <- Seq(1, 3, 8)) {
+      val brute = ids.indices.map(i => (hav(py, px, ys(i), xs(i)), ids(i)))
+        .sorted.take(k).map(_._2)
+      assert(grid.knn(px, py, k).toSeq === brute, s"probe ($px,$py) k=$k")
+    }
+    // and the metric genuinely differs from planar somewhere on this data
+    val planar = new PoiGrid(6, ids, xs, ys)
+    val differs = probes.exists { case (px, py) =>
+      planar.knn(px, py, 3).toSeq != grid.knn(px, py, 3).toSeq }
+    assert(differs, "expected planar and geodesic neighbor sets to differ")
+  }
+
   test("broadcastKnn DataFrame op matches PoiGrid") {
     import spark.implicits._
     val ents = Pipeline.entities(spark, Sf).limit(50)
