@@ -124,6 +124,20 @@ object Oracles {
          | ON ($eLon - p.px) * ($eLon - p.px) + ($eLat - p.py) * ($eLat - p.py)
          |    <= 1.03 * 1.03""".stripMargin.replace("\n", " "),
 
+    // brute-force haversine dwithin; threshold constant sin^2(a/2) is
+    // computed once in Scala and embedded as a literal so both engines
+    // compare against the identical double
+    "q61_dwithin_geodesic" -> {
+      val a = 120000.0 / graft.ops.DistanceJoin.EarthRadiusM
+      val havA = { val s = math.sin(a / 2); s * s }
+      s"""WITH $entsCte, $poisCte
+         | SELECT e.url, e.ent_idx, p.poi_id FROM ents e JOIN pois p
+         | ON sin(radians($eLat - p.py) / 2) * sin(radians($eLat - p.py) / 2)
+         |  + cos(radians($eLat)) * cos(radians(p.py))
+         |    * sin(radians($eLon - p.px) / 2) * sin(radians($eLon - p.px) / 2)
+         |  <= $havA""".stripMargin.replace("\n", " ")
+    },
+
     "q15_knn" ->
       s"""WITH $entsCte, $poisCte,
          | d AS (SELECT e.url, e.ent_idx, p.poi_id,

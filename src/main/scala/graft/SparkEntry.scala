@@ -113,6 +113,17 @@ object SparkEntry {
         "px", "py", d = 1.03)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poi_id"))),
 
+    // geodesic ST_DWithin: great-circle distance join, cos(lat)-widened
+    // cell neighborhoods + antimeridian wrap; hash-checked against a
+    // brute-force haversine oracle
+    "q61_dwithin_geodesic" -> ((s, dir) =>
+      DistanceJoin.dwithinGeodesic(
+        ents(s, dir).select(col("url"), col("ent_idx"), col("lon"), col("lat")),
+        "lon", "lat",
+        Layers.pois(s, dir).select(col("poi_id"), col("px"), col("py")),
+        "px", "py", meters = 120000.0)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poi_id"))),
+
     "q15_knn" -> ((s, dir) =>
       KnnJoin.broadcastKnn(s, ents(s, dir), Layers.pois(s, dir), Pipeline.K, Pipeline.CellLevel)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
@@ -273,8 +284,11 @@ object SparkEntry {
           lit(8L).as("thumb_w"), lit(8L).as("thumb_h"))),
 
     // --- similarity search ---
+    // q27 runs the BLOCKED exact shape (equi-join + bounded-heap agg) — the
+    // plan a user should copy; the BNLJ+window brute force (Ann.topK) is
+    // the in-test baseline only (DedupAnnSpec asserts hash equality)
     "q27_ann_topk" -> ((s, dir) =>
-      Ann.topK(t(s, dir, "embeddings"), k = 5, qmod = 20)
+      Ann.topKBlocked(t(s, dir, "embeddings"), k = 5, qmod = 20)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("dot"))),
     "q28_lsh_neardup" -> ((s, dir) => Ann.lshNearDup(t(s, dir, "embeddings"))),
     "q33_ann_topk_blocked" -> ((s, dir) =>

@@ -47,7 +47,13 @@ object Ann {
   private def dotCol(a: Column, b: Column): Column = VectorExpressions.longDot(a, b)
 
   /** Exact top-k by integer dot (desc, id asc), query side = vec_id % qmod == 0,
-    * self excluded. Output (query_id, rank, nn_id, dot). */
+    * self excluded. Output (query_id, rank, nn_id, dot).
+    *
+    * TEST BASELINE ONLY: this is a broadcast nested-loop over Q x N with a
+    * window — the simplest possible form, kept as the brute-force
+    * comparison target in DedupAnnSpec. Production entry points (q27/q33)
+    * use [[topKBlocked]], whose equi-join + bounded-heap partial aggregate
+    * is the shape that survives 100 TB. */
   def topK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {
     val q = quantized(embeddings)
     val queries = q.filter(col("vec_id") % qmod === 0)

@@ -319,13 +319,13 @@ object Dedup {
     val shs = maxShingleFreq match {
       case None => allSh
       case Some(cap) =>
-        val freq = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val freq = allSh.groupBy("sh").agg(count(lit(1)).as("sh_df"))
         if (logDrops) { // opt-in: the count is its own job re-deriving allSh
-          val nDropped = freq.filter(col("df") > cap).count()
+          val nDropped = freq.filter(col("sh_df") > cap).count()
           if (nDropped > 0)
             System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
         }
-        allSh.join(freq.filter(col("df") <= cap).drop("df"), Seq("sh"))
+        allSh.join(freq.filter(col("sh_df") <= cap).drop("sh_df"), Seq("sh"))
     }
     val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = shs.as("a"); val b = shs.as("b")

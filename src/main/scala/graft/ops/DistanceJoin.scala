@@ -72,4 +72,74 @@ object DistanceJoin {
               (col(ly) - col(ry)) * (col(ly) - col(ry)) <= d * d)
       .drop("_cell")
   }
+
+  val EarthRadiusM = 6371000.0
+
+  /** Geodesic ST_DWithin: all pairs within `meters` great-circle distance.
+    * Same one-sided cell-key structure as [[dwithin]] (right side keyed by
+    * its OWN cell -> every pair appears exactly once), with the two
+    * spherical corrections:
+    *  - the LEFT side's x-neighborhood widens by 1/cos(lat): the lon reach
+    *    of an angular radius a at latitude phi is asin(sin a / cos phi),
+    *    computed per row against the most poleward latitude its 3-cell y
+    *    band can reach (conservative cover, exact refine after);
+    *  - x cells wrap across the antimeridian (pmod), with array_distinct
+    *    so a wrapped band never emits the same cell twice.
+    * The refine compares the haversine TERM against sin^2(a/2) — monotone
+    * in central angle, no asin/sqrt on the hot path. All candidate math is
+    * pure column expressions (codegen), the join is a plain equi-join on
+    * the cell key: prunable, AQE-skew-handled, no cross join anywhere. */
+  def dwithinGeodesic(left: DataFrame, lx: String, ly: String,
+                      right: DataFrame, rx: String, ry: String, meters: Double,
+                      maxLevel: Int = 12): DataFrame = {
+    require(meters > 0, "meters must be positive")
+    val a = meters / EarthRadiusM // central angle, radians
+    val aDeg = math.toDegrees(a)
+    val level = levelFor(aDeg, maxLevel)
+    val nL = 1L << level
+    val n = nL.toDouble
+    val w = 360.0 / n; val h = 180.0 / n
+    val nMax = nL - 1
+    val sinA = math.sin(a)
+    val havA = { val s = math.sin(a / 2); s * s }
+
+    def cellX(c: Column) = greatest(lit(0L), least(lit(nMax), floor((c + 180.0) / 360.0 * n).cast("long")))
+    def cellY(c: Column) = greatest(lit(0L), least(lit(nMax), floor((c + 90.0) / 180.0 * n).cast("long")))
+
+    val r = right
+      .withColumn("_cell", shiftleft(cellX(col(rx)), 32) + cellY(col(ry)))
+
+    // per-row x half-span in cells: lon reach at the band's most poleward
+    // latitude (|lat| + a + one cell of slack); beyond the polar cutoff the
+    // whole x row is in reach
+    val phiM = least(lit(89.999), abs(col(ly)) + lit(aDeg + h))
+    val cosPhi = cos(radians(phiM))
+    val reachDeg = when(cosPhi <= sinA, lit(180.0))
+      .otherwise(degrees(asin(lit(sinA) / cosPhi)))
+    // +1 cell of slack: a point on its cell's far edge with reach an exact
+    // cell multiple lands on the boundary of one cell further than
+    // ceil(reach/w) alone covers
+    val sx = least(lit(nL / 2), ceil(reachDeg / w).cast("long") + 1)
+
+    val l1 = left
+      .withColumn("_cx", cellX(col(lx)))
+      .withColumn("_cy", cellY(col(ly)))
+      .withColumn("_sx", sx)
+      .withColumn("_nx", explode(array_distinct(transform(
+        sequence(-col("_sx"), col("_sx")), o => pmod(col("_cx") + o, lit(nL))))))
+      .withColumn("_ny", explode(array(col("_cy") - 1, col("_cy"), col("_cy") + 1)))
+      .filter(col("_ny").between(0, nMax))
+      .withColumn("_cell", shiftleft(col("_nx"), 32) + col("_ny"))
+      .drop("_cx", "_cy", "_sx", "_nx", "_ny")
+
+    def havTerm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+      val sdLat = sin(radians(lat1 - lat2) / 2)
+      val sdLon = sin(radians(lon1 - lon2) / 2)
+      sdLat * sdLat + cos(radians(lat1)) * cos(radians(lat2)) * sdLon * sdLon
+    }
+
+    l1.join(r, "_cell")
+      .filter(havTerm(col(ly), col(lx), col(ry), col(rx)) <= havA)
+      .drop("_cell")
+  }
 }

@@ -298,28 +298,30 @@ object TextStats {
   def redactPii(docs: DataFrame): DataFrame = {
     def nMatches(c: Column, re: String) =
       size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    // audit counts are ACTUAL replacement counts: each stage counts on the
+    // text the previous stages already redacted (counting every class on
+    // the raw text overstates when patterns overlap — e.g. an IPv4-like
+    // substring inside an already-redacted email)
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     docs.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("clean_text"),
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("clean_text"),
       nMatches(col("text"), EmailRe).as("n_email"),
-      nMatches(col("text"), Ipv4Re).as("n_ip"),
-      nMatches(col("text"), PhoneRe).as("n_phone"))
+      nMatches(afterEmail, Ipv4Re).as("n_ip"),
+      nMatches(afterIp, PhoneRe).as("n_phone"))
   }
 
-  val redactPiiSql: String =
+  val redactPiiSql: String = {
+    val afterEmail = s"regexp_replace(text, '$EmailRe', '<EMAIL>', 'g')"
+    val afterIp = s"regexp_replace($afterEmail, '$Ipv4Re', '<IP>', 'g')"
     s"""SELECT doc_id,
-       | regexp_replace(regexp_replace(regexp_replace(text,
-       |   '$EmailRe', '<EMAIL>', 'g'),
-       |   '$Ipv4Re', '<IP>', 'g'),
-       |   '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+       | regexp_replace($afterIp, '$PhoneRe', '<PHONE>', 'g') AS clean_text,
        | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
-       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
-       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone
+       | CAST(len(regexp_extract_all($afterEmail, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       | CAST(len(regexp_extract_all($afterIp, '$PhoneRe')) AS BIGINT) AS n_phone
        | FROM $piiCorpusSql pc""".stripMargin.replace("\n", " ")
+  }
 
   /** Winnowing fingerprints: polynomial rolling hash over token windows of
     * `w`, keep the minimum hash of every `g`-window band (robust, order-

@@ -200,19 +200,32 @@ object TableLog {
     // would otherwise re-execute the caller's full lineage (buckets + 2
     // times); same discipline as Dedup's shared-subtree checkpoints
     val src = df.localCheckpoint(false)
-    val bounds =
-      if (buckets == 1) Array.empty[Double]
-      else src.stat.approxQuantile(cellCol,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
+    // boundaries computed IN LONG SPACE (percentile_approx on the Long
+    // column): approxQuantile returns Doubles, and Morton ids above 2^53
+    // (grid level > 26) lose precision in the Long->Double cast, misrouting
+    // boundary rows between slices
+    val bounds: Array[Long] =
+      if (buckets == 1) Array.empty[Long]
+      else {
+        val ps = (1 until buckets).map(_.toDouble / buckets)
+        val r = src.select(org.apache.spark.sql.functions.percentile_approx(
+          col(cellCol), org.apache.spark.sql.functions.typedlit(ps), lit(10000)).as("q")).head()
+        if (r.isNullAt(0)) Array.empty[Long]
+        else r.getSeq[Long](0).distinct.sorted.toArray
+      }
     val sliceIdx = bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
       when(col(cellCol) > b, i + 1).otherwise(acc)
     }
     val idxed = src.withColumn("_zc_b", sliceIdx)
     // skewed data can leave quantile slices EMPTY (e.g. one hot cell past
     // the top boundary); one routing job finds the non-empty ones — an
-    // empty bucket would carry no cell stats and poison mergeClustered
-    val present = idxed.groupBy("_zc_b").agg(count(lit(1)))
+    // empty bucket would carry no cell stats and poison mergeClustered.
+    // An EMPTY INPUT still commits one (empty) bucket: a zero-bucket
+    // snapshot would make read() call spark.read.parquet with no paths
+    // and throw, unlike write(), which always commits one bucket.
+    val nonEmpty = idxed.groupBy("_zc_b").agg(count(lit(1)))
       .collect().map(_.getInt(0)).sorted
+    val present = if (nonEmpty.isEmpty) Array(0) else nonEmpty
     // write every slice dir at snapshot+1 FIRST, then commit ONE snapshot:
     // per-slice commits would expose a partial table to concurrent readers
     // (and strand one on a mid-write crash) in overwrite/compaction mode
@@ -308,15 +321,21 @@ object TableLog {
   /** Buckets of the current snapshot a query over `ranges` must read:
     * cell-stat buckets whose [cellMin, cellMax] intersects some range,
     * plus every statless bucket (correctness over optimism). */
-  def prunedBuckets(table: String, ranges: Seq[(Long, Long)]): Seq[(String, BucketMeta)] = {
-    val snap = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
+  def prunedBuckets(table: String, ranges: Seq[(Long, Long)]): Seq[(String, BucketMeta)] =
+    prunedBuckets(
+      current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table")),
+      ranges)
+
+  /** Snapshot-explicit form — callers that already resolved a snapshot use
+    * this so one read sees ONE snapshot (resolving current() twice can mix
+    * two snapshots across a concurrent commit). */
+  def prunedBuckets(snap: Snapshot, ranges: Seq[(Long, Long)]): Seq[(String, BucketMeta)] =
     snap.buckets.toSeq.filter { case (_, m) =>
       (m.cellMin, m.cellMax) match {
         case (Some(lo), Some(hi)) => ranges.exists { case (a, b) => a <= hi && lo <= b }
         case _ => true
       }
     }
-  }
 
   /** Range-pruned spatial read: only the buckets [[prunedBuckets]] keeps
     * are opened; the range predicate is applied as an OR of BETWEENs so
@@ -326,8 +345,10 @@ object TableLog {
   def readCellRanges(spark: SparkSession, table: String, cellCol: String,
                      ranges: Seq[(Long, Long)]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // resolve current() ONCE: schema and bucket list must come from the
+    // same snapshot even if a commit lands mid-call
     val snap = current(table).getOrElse(throw new IllegalStateException(s"no snapshot: $table"))
-    val keep = prunedBuckets(table, ranges)
+    val keep = prunedBuckets(snap, ranges)
     if (keep.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))

@@ -37,6 +37,44 @@ class DistanceJoinSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("dwithinGeodesic == brute-force haversine (high lat, antimeridian, varied radii)") {
+    import spark.implicits._
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val sdLat = math.sin(math.toRadians(lat1 - lat2) / 2)
+      val sdLon = math.sin(math.toRadians(lon1 - lon2) / 2)
+      sdLat * sdLat +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * sdLon * sdLon
+    }
+    // spread + deliberate antimeridian/high-lat clusters
+    val special = Seq((9001L, -179.9, 78.0), (9002L, 179.85, 78.1),
+      (9003L, 179.9, -80.0), (9004L, -179.92, -79.95), (9005L, 10.0, 86.0), (9006L, 11.5, 86.1))
+    val left = ((1 to 250).map { i =>
+      (i.toLong, ((i * 131) % 700) / 2.0 - 174.7, ((i * 37) % 330) / 2.0 - 82.4)
+    } ++ special).toDF("lid", "lx", "ly")
+    val right = ((1 to 200).map { i =>
+      (i.toLong, ((i * 211) % 700) / 2.0 - 174.9, ((i * 89) % 330) / 2.0 - 82.2)
+    } ++ special.map { case (id, x, y) => (id + 1000, x, y) }).toDF("rid", "rx", "ry")
+    for (meters <- Seq(30000.0, 150000.0, 900000.0)) {
+      val a = meters / DistanceJoin.EarthRadiusM
+      val havA = { val s = math.sin(a / 2); s * s }
+      val got = DistanceJoin.dwithinGeodesic(left, "lx", "ly", right, "rx", "ry", meters)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === got.distinct.size, s"m=$meters duplicate pairs")
+      val lr = left.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val rr = right.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val want = for {
+        (li, lx, ly) <- lr.toSeq; (ri, rx, ry) <- rr
+        if hav(ly, lx, ry, rx) <= havA
+      } yield (li, ri)
+      assert(got.sorted === want.sorted, s"m=$meters")
+      assert(want.nonEmpty, s"m=$meters vacuous")
+      // the antimeridian pairs must be found
+      if (meters >= 30000.0)
+        assert(got.contains((9001L, 10002L)) || got.contains((9002L, 10001L)),
+          s"m=$meters missed wrapped pair")
+    }
+  }
+
   test("dwithin keeps points at the world edge (clamped cells)") {
     import spark.implicits._
     val l = Seq((1L, -179.99, -89.99), (2L, 179.99, 89.99)).toDF("lid", "lx", "ly")

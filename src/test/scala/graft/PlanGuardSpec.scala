@@ -17,7 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanGuardSpec extends AnyFunSuite with SparkTest {
 
-  private val bruteForceBaselines = Set("q27_ann_topk", "q29_cosine_topk")
+  // q29 is the one remaining declared brute-force baseline (float cosine);
+  // q27 now runs the blocked equi-join shape like q33
+  private val bruteForceBaselines = Set("q29_cosine_topk")
 
   private def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
     df.queryExecution.sparkPlan
@@ -32,6 +34,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
       assert(bad.isEmpty,
         s"$name has ${bad.size} unpartitioned Window op(s) — single-partition sort at scale")
     }
+  }
+
+  test("prod dedup entry points run the heavy-hitter-capped path by default") {
+    // the cap manifests as a bucket-size / shingle-frequency aggregate +
+    // filter in the logical plan (aliases bsz / sh_df are internal to the
+    // capped branches, so their presence IS the capped path)
+    val p21 = SparkEntry.queries("q21_minhash_lsh")(spark, Sf)
+      .queryExecution.analyzed.toString
+    assert(p21.contains("bsz"), "q21 default must run the capped LSH-bucket path")
+    val p23 = SparkEntry.queries("q23_jaccard_pairs")(spark, Sf)
+      .queryExecution.analyzed.toString
+    assert(p23.contains("sh_df"), "q23 default must run the capped shingle path")
   }
 
   test("no non-baseline query plan contains a cartesian or nested-loop join") {

@@ -231,6 +231,15 @@ class TableLogSpec extends AnyFunSuite with SparkTest {
     assert(TableLog.prunedBuckets(plain, ranges).size === 1)
   }
 
+  test("writeClustered on EMPTY input commits one empty bucket; read() still works") {
+    import spark.implicits._
+    val t = freshTable()
+    val empty = Seq.empty[(Long, Long)].toDF("k", "cell")
+    val snap = TableLog.writeClustered(empty, t, "fail", 4326, "cell")
+    assert(snap.buckets.size === 1)
+    assert(TableLog.read(spark, t).count() === 0)
+  }
+
   test("writeClustered on skewed data: empty quantile slices dropped, one atomic commit, merge works") {
     import org.apache.spark.sql.functions._
     import graft.table.SpatialLayout
