@@ -187,14 +187,6 @@ object Bench {
       return
     }
 
-    // --- in-JVM measurement at full parallelism (absolute throughput) ---
-    val inJvm: Option[(Long, Double, Double)] =
-      if (remaining > 240) Some(timePipeline(spark1, sfDir, rep)) else None
-    // --- reference-baseline comparison: GeoJSON bulk load MB/s ---
-    val loaded: Option[(Double, Double, Double)] =
-      if (remaining > 120) Some(timeGeoJsonLoad(spark1)) else None
-    spark1.stop()
-
     // --- executor-style scaling: 1 vs 4 worker PROCESSES (own JVM/heap
     // each, local[wCores] apiece), disjoint slices of the same input ---
     // leave REAL headroom: at wCores = cpus/8 the 4-worker level claims
@@ -226,19 +218,25 @@ object Bench {
         Thread.sleep(5000); quietBudgetMs -= 5000
       } catch { case _: Throwable => () }
     }
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_PAIRS", "2").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_PAIRS", "3").toInt
+    // scaling pairs run on HALF the replication by default: the phase
+    // measures a RATIO (fps at two widths over the same input), and per-pair
+    // wall cost — entity materialization + warmup + timed at both widths —
+    // was the thing that blew the round-2 driver timeout
+    val scaleRep = sys.env.get("SPARK_GRAFT_BENCH_SCALE_REP").map(_.toInt)
+      .getOrElse(math.max(100, rep / 2))
     val samples = scala.collection.mutable.ArrayBuffer.empty[BenchCluster.ClusterRun]
     var iter = 0
     var done = false
     var lastPairSec = 0.0
-    // a first pair needs roughly warmup+timed at both levels; don't start
-    // one we can't finish
+    // the first pair measured ~300 s at half rep on a contended box; don't
+    // start one we can't finish
     while (iter < maxPairs && !done &&
-           remaining > (if (iter == 0) 150 else lastPairSec * 1.3)) {
+           remaining > (if (iter == 0) 330 else lastPairSec * 1.3)) {
       val tPair0 = System.nanoTime()
       Seq((4, 2.0), (1, 8.0)).foreach { case (w, thr) =>
         awaitQuiet(thr)
-        try samples += BenchCluster.run(workers = w, cores = wCores, repTotal = rep, sfDir = sfDir)
+        try samples += BenchCluster.run(workers = w, cores = wCores, repTotal = scaleRep, sfDir = sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] scaling sample ($w workers) failed: $e") }
       }
       lastPairSec = (System.nanoTime() - tPair0) / 1e9
@@ -259,10 +257,20 @@ object Bench {
       } else None
     }
 
+    // --- in-JVM measurement at full parallelism (absolute throughput) ---
+    // after the scaling phase: the north-rule evidence has priority under
+    // the wall-clock budget
+    val inJvm: Option[(Long, Double, Double)] =
+      if (remaining > 240) Some(timePipeline(spark1, sfDir, rep)) else None
+    // --- reference-baseline comparison: GeoJSON bulk load MB/s ---
+    val loaded: Option[(Double, Double, Double)] =
+      if (remaining > 100) Some(timeGeoJsonLoad(spark1)) else None
+    spark1.stop()
+
     val pipelineJson = (inJvm, scaling) match {
       case (Some((featsHi, secHi, idxHi)), Some((lo, hi))) =>
         val eff = hi.fps / (4.0 * lo.fps)
-        Some(s"""{"features":$featsHi,"rep":$rep,"workerCores":$wCores,""" +
+        Some(s"""{"features":$featsHi,"rep":$rep,"scaleRep":$scaleRep,"scaleFeatures":${hi.feats},"workerCores":$wCores,""" +
           s""""sec1worker":${lo.maxSec},"sec4workers":${hi.maxSec},"fps1worker":${lo.fps},"fps4workers":${hi.fps},""" +
           s""""fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi,"scaling_efficiency":$eff}""")
       case (Some((featsHi, secHi, idxHi)), None) =>
@@ -304,7 +312,10 @@ object Bench {
          |""".stripMargin +
         f"| 1 | $wCores | ${lo.maxSec}%.2f | ${lo.fps}%.0f |%n" +
         f"| 4 | $wCores | ${hi.maxSec}%.2f | ${hi.fps}%.0f |%n" +
-        f"""%nfeatures = ${hi.feats} extracted entities;
+        f"""%nfeatures = ${hi.feats} extracted entities per scaling sample
+           |(documents x$scaleRep — the phase measures a throughput RATIO, so
+           |half the full-bench replication keeps each pair inside the
+           |wall-clock budget);
            |**scaling efficiency fps(4 executors) / (4 x fps(1 executor)) = $eff%.3f**
            |(target >= 0.8, BASELINE.md).
            |""".stripMargin

@@ -370,7 +370,7 @@ object Oracles {
     // mirror query with rank1_is_mirror = 1.
     "q58_ivf_recall" ->
       """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank1_is_mirror
-        | FROM embeddings WHERE vec_id % 20 = 0""".stripMargin.replace("\n", " "),
+        | FROM embeddings WHERE vec_id % 40 = 0""".stripMargin.replace("\n", " "),
 
     "q28_lsh_neardup" ->
       s"""WITH $quantElsCorpusCte,

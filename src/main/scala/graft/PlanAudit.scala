@@ -55,6 +55,15 @@ object PlanAudit {
       SparkEntry.queries("q56_distance_join")(spark, sfDir))
     show("q54 extent (expect: ObjectHashAggregate partial+final — map-side combined bbox)")(
       SparkEntry.queries("q54_extent")(spark, sfDir))
+    show("q59 knn geodesic (expect: same zero-shuffle broadcast-probe shape as q15 — " +
+      "one narrow projection over the scan, KnnPoisExpr probe, posexplode)")(
+      SparkEntry.queries("q59_knn_geodesic")(spark, sfDir))
+    show("q61 dwithin geodesic (expect: single equi-join on _cell, per-row variable x-span " +
+      "explode only on left, haversine-term refine; no cross join)")(
+      SparkEntry.queries("q61_dwithin_geodesic")(spark, sfDir))
+    show("q53 asof bucketed (expect: WindowExec partitioned on (user_id, _b); " +
+      "summary agg partial-combined; no range join)")(
+      SparkEntry.queries("q53_asof_join")(spark, sfDir))
     spark.stop()
   }
 }

@@ -308,7 +308,7 @@ object SparkEntry {
     // (query_id, rank1_is_mirror) table (oracle = the contract itself)
     "q58_ivf_recall" -> ((s, dir) => {
       val approx = Ann.topKIvf(Ann.corpus(t(s, dir, "embeddings")), k = 5, qmod = 1,
-        queryPred = Some(col("vec_id") >= 1000000 && col("vec_id") % 20 === 0))
+        queryPred = Some(col("vec_id") >= 1000000 && col("vec_id") % 40 === 0))
       approx.filter(col("rank") === 1)
         .select(col("query_id"),
           when(col("nn_id") === col("query_id") - 1000000, 1L).otherwise(0L)

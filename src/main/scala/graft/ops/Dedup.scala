@@ -117,15 +117,17 @@ object Dedup {
     val buckets = maxBucket match {
       case None => all // uncapped self-join: identical subtrees -> ReusedExchange
       case Some(cap) =>
-        // each consumer re-derives only the cheap explode over the
-        // checkpointed sig table
         val counts = all.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
         if (logDrops) {
           val nDropped = counts.filter(col("bsz") > cap).count()
           if (nDropped > 0)
             System.err.println(s"[dedup] dropped $nDropped LSH buckets larger than $cap docs")
         }
+        // materialize the capped bucket table ONCE: the self-join's two
+        // sides would otherwise each re-run the count+join (measured ~2x
+        // on the bench after the caps became the default)
         all.join(counts.filter(col("bsz") <= cap).drop("bsz"), Seq("band", "bkey"))
+          .localCheckpoint(false)
     }
     val a = buckets.as("a"); val bb = buckets.as("b")
     a.join(bb, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -325,7 +327,11 @@ object Dedup {
           if (nDropped > 0)
             System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
         }
+        // materialize the capped shingle table ONCE for its three
+        // consumers (sizes + both self-join sides) — same rationale as
+        // the bandPairs cap checkpoint
         allSh.join(freq.filter(col("sh_df") <= cap).drop("sh_df"), Seq("sh"))
+          .localCheckpoint(false)
     }
     val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = shs.as("a"); val b = shs.as("b")
