@@ -156,22 +156,33 @@ object Bench {
     // 125 s minutes apart — so a single sample is noise, and min-of-samples
     // is the uncontended capability
     val samplesPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
-    val results = selected.map { case (name, fn) =>
-      val secs = (1 to samplesPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        // failure marker -1: a broken query must not masquerade as a duration
-        val ok = try { force(fn(spark1, sfDir)); true } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // drop this query's localCheckpoint blocks: ContextCleaner frees them
-        // only on driver GC, so across ~50 queries they pile up in the block
-        // manager and skew later-query timings (untimed)
-        spark1.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        if (ok) sec else -1.0
-      }
-      // min over SUCCESSFUL samples; -1 only when every sample failed
-      // (a transient failure must not discard a good measurement)
-      val good = secs.filter(_ >= 0)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // failure marker -1: a broken query must not masquerade as a duration
+      val ok = try { force(fn(spark1, sfDir)); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop this query's localCheckpoint blocks: ContextCleaner frees them
+      // only on driver GC, so across ~50 queries they pile up in the block
+      // manager and skew later-query timings (untimed)
+      spark1.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (ok) sec else -1.0
+    }
+    // pass structure (not per-query loops): pass 1 covers every query, so
+    // the contract line below can always print; later denoising passes run
+    // only while the wall-clock budget is healthy (sbt startup time before
+    // main is invisible to us and has eaten 5+ min on a contended box)
+    val passes = scala.collection.mutable.ArrayBuffer(
+      selected.map { case (name, fn) => name -> timeOnce(name, fn) })
+    var pass = 1
+    while (pass < samplesPerQuery && remaining > 480) {
+      passes += selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+      pass += 1
+    }
+    // min over SUCCESSFUL samples; -1 only when every sample failed
+    // (a transient failure must not discard a good measurement)
+    val results = selected.map(_._1).map { name =>
+      val good = passes.flatMap(_.collect { case (`name`, s) if s >= 0 => s })
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -267,15 +278,22 @@ object Bench {
       if (remaining > 100) Some(timeGeoJsonLoad(spark1)) else None
     spark1.stop()
 
-    val pipelineJson = (inJvm, scaling) match {
-      case (Some((featsHi, secHi, idxHi)), Some((lo, hi))) =>
-        val eff = hi.fps / (4.0 * lo.fps)
-        Some(s"""{"features":$featsHi,"rep":$rep,"scaleRep":$scaleRep,"scaleFeatures":${hi.feats},"workerCores":$wCores,""" +
-          s""""sec1worker":${lo.maxSec},"sec4workers":${hi.maxSec},"fps1worker":${lo.fps},"fps4workers":${hi.fps},""" +
-          s""""fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi,"scaling_efficiency":$eff}""")
-      case (Some((featsHi, secHi, idxHi)), None) =>
-        Some(s"""{"features":$featsHi,"rep":$rep,"fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi}""")
-      case _ => None
+    // scaling evidence and in-JVM throughput are INDEPENDENT sections: a
+    // budget-exhausted run must still report whichever it measured (the
+    // north-rule scaling ratio is the headline; losing it because the
+    // in-JVM extra was skipped inverted the priority)
+    val scalingFields = scaling.map { case (lo, hi) =>
+      val eff = hi.fps / (4.0 * lo.fps)
+      s""""scaleRep":$scaleRep,"scaleFeatures":${hi.feats},"workerCores":$wCores,""" +
+        s""""sec1worker":${lo.maxSec},"sec4workers":${hi.maxSec},"fps1worker":${lo.fps},"fps4workers":${hi.fps},""" +
+        s""""scaling_efficiency":$eff"""
+    }
+    val inJvmFields = inJvm.map { case (featsHi, secHi, idxHi) =>
+      s""""features":$featsHi,"rep":$rep,"fpsInJvm${cpus}cores":${featsHi / secHi},"index_build_sec":$idxHi"""
+    }
+    val pipelineJson = (scalingFields.toSeq ++ inJvmFields.toSeq) match {
+      case Seq() => None
+      case fields => Some(fields.mkString("{", ",", "}"))
     }
     val loadJson = loaded.map { case (loadMb, loadSec, loadMbps) =>
       s"""{"mb":${f"$loadMb%.1f"},"sec":${f"$loadSec%.2f"},"mb_per_sec":${f"$loadMbps%.1f"},"reference_mb_per_sec":52}"""

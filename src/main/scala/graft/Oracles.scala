@@ -322,6 +322,7 @@ object Oracles {
     "q49_image_pixels" -> graft.sources.MediaSynth.pixelOracleSql,
     "q50_image_resize" -> graft.sources.MediaSynth.thumbOracleSql,
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
+    "q26_fingerprint" -> TextStats.fingerprintsSql,
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q38_contamination" -> TextStats.contaminationSql(),

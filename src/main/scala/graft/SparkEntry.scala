@@ -318,9 +318,9 @@ object SparkEntry {
     "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
   )
 
-  /** DuckDB-runnable SQL for each query above; q26/q29/q30/q44
-    * intentionally omitted (hash-/float-order-dependent => rows-only
-    * check; q44's recall contract is oracle-checked via q58). All other
-    * queries are oracle-checked (rows + schema + value hash). */
+  /** DuckDB-runnable SQL for each query above; q29/q30/q44 intentionally
+    * omitted (float-order-dependent / xxhash64-based => rows-only check;
+    * q44's recall contract is oracle-checked via q58). All other queries
+    * are oracle-checked (rows + schema + value hash). */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -325,19 +325,48 @@ object TextStats {
 
   /** Winnowing fingerprints: polynomial rolling hash over token windows of
     * `w`, keep the minimum hash of every `g`-window band (robust, order-
-    * sensitive near-dup fingerprint). Rows-only checked (not SQL-friendly);
-    * exact semantics unit-tested. */
+    * sensitive near-dup fingerprint). All arithmetic is mod FpP < 2^31, so
+    * no intermediate exceeds 2^62 — every step is EXACT int64 on both
+    * engines, which is what lets [[fingerprintsSql]] replicate the whole
+    * pipeline in DuckDB (the previous masked-wrap hash overflowed int64,
+    * whose JVM silent wrap DuckDB cannot express) — q26 is hash-checked.
+    * Token hashing folds UTF-16 code units == code points for the ASCII
+    * synthetic corpus (the oracle's ord() sees the same values). */
+  val FpP = 1000000007L
+  val FpB = 1000003L
+  val FpC = 131L
+
   def fingerprints(docs: DataFrame, w: Int = 4, g: Int = 4): DataFrame = {
     val fpUdf = udf((text: String) => {
       val ts = text.split(" ").filter(_.nonEmpty)
       if (ts.length < w) Array.empty[Long]
       else {
-        val B = 1000003L; val M = (1L << 61) - 1
-        val th = ts.map(t => t.foldLeft(0L)((a, c) => (a * 131 + c) & 0x7fffffffffffffL))
-        val windows = th.sliding(w).map(_.foldLeft(0L)((a, h) => ((a * B) % M + h) % M)).toArray
+        val th = ts.map(t => t.foldLeft(0L)((a, c) => (a * FpC + c) % FpP))
+        val windows = th.sliding(w).map(_.foldLeft(0L)((a, h) => ((a * FpB) % FpP + h) % FpP)).toArray
         windows.sliding(g, g).map(_.min).toArray.distinct
       }
     })
     docs.select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
+  }
+
+  /** DuckDB replica of [[fingerprints]] (w = g = 4, the q26 parameters):
+    * same char fold, same unrolled window polynomial, same band-min +
+    * distinct. */
+  val fingerprintsSql: String = {
+    val tokHash = // fold ((a*131 + c) % P) over the token's characters
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length(t) + 1), i -> CAST(ord(array_slice(t, i, i)) AS BIGINT))), " +
+        s"(a, c) -> (a * $FpC + c) % $FpP)"
+    // identical op sequence to foldLeft over the 4-element window:
+    // a1=h1; a2=((a1*B)%P+h2)%P; a3=((a2*B)%P+h3)%P; a4=((a3*B)%P+h4)%P
+    val win =
+      s"((((((th[i] * $FpB) % $FpP + th[i+1]) % $FpP) * $FpB) % $FpP + th[i+2]) % $FpP * $FpB) " +
+        s"% $FpP + th[i+3]"
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+       | th AS (SELECT doc_id, list_transform(ts, t -> $tokHash) AS th FROM toks WHERE len(ts) >= 4),
+       | win AS (SELECT doc_id, list_transform(range(1, len(th) - 2), i -> ($win) % $FpP) AS ws FROM th),
+       | bands AS (SELECT doc_id, list_distinct(list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS BIGINT)),
+       |   g -> list_min(array_slice(ws, g * 4 + 1, least(g * 4 + 4, len(ws)))))) AS fps FROM win)
+       | SELECT doc_id, unnest(fps) AS fp FROM bands""".stripMargin.replace("\n", " ")
   }
 }
