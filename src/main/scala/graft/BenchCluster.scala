@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Executor-style scaling evidence: the same job at two "cluster sizes" —
-  * 1 worker process vs 4 worker processes, each its OWN JVM (own heap, own
-  * GC, `local[coresPerWorker]`), splitting the replication range disjointly.
-  * This models N vs 4N executors more faithfully than threads inside one
-  * shared-heap JVM, where a single collector serializes against 32 task
-  * threads. Cluster throughput = total features / max(worker timed sec).
+/** North-rule scaling evidence: the same job at two parallelism levels —
+  * N vs 4N cores, each level ONE fresh worker JVM (own heap, own GC,
+  * `local[cores]`) over the same input, run sequentially. Sequential
+  * single-JVM samples are the sanctioned no-real-cluster substitution;
+  * the earlier concurrent 1-vs-4-process form measured sandbox co-tenant
+  * interference instead of the engine (see Bench.main for the postmortem
+  * numbers). Throughput = total features / max(worker timed sec).
   *
   * [[BenchClusterWorker]] is the per-executor main; [[BenchCluster]] forks
   * it via ProcessBuilder (classpath + add-opens inherited from this JVM).
@@ -36,12 +37,32 @@ object BenchClusterWorker {
     // north-rule metric is SPATIAL-JOIN + TILE throughput over an existing
     // table, not synthetic-input generation + regex. Also aligns worker
     // phases so no untimed pass overlaps a sibling's timed run.
-    val entDir = s"${Scratch.dir}/graft_bench_ents_$repFrom"
-    Pipeline.entitiesAmplifiedRange(spark, sfDir, repFrom, repTo, repTotal)
-      .select("url", "ent_idx", "lon", "lat")
-      .write.mode("overwrite").parquet(entDir)
-    val ents = spark.read.parquet(entDir)
+    // Slices are materialized at FIXED QUARTER granularity and cached
+    // across samples and pairs: the first sample (the wide level) writes
+    // the four quarters once, so every later sample at either width reads
+    // them back with ZERO materialization — the per-sample rewrite was the
+    // single biggest per-pair wall cost and starved the budget down to one
+    // pair (one pair = no min-of-samples defence against this sandbox's
+    // co-tenant CPU bursts).
+    val tMat0 = System.nanoTime()
+    val q = repTotal / 4
+    val quarters = (0 until 4).map(i => (i * q, if (i == 3) repTotal else (i + 1) * q))
+      .filter { case (a, b) => a >= repFrom && b <= repTo }
+    require(quarters.nonEmpty && quarters.head._1 == repFrom && quarters.last._2 == repTo,
+      s"worker range [$repFrom,$repTo) must be quarter-aligned")
+    val dirs = quarters.map { case (a, b) =>
+      val d = s"${Scratch.dir}/graft_bench_ents_${repTotal}_${a}_${b}_" +
+        Integer.toHexString(sfDir.hashCode)
+      if (!new java.io.File(d, "_SUCCESS").exists()) {
+        Pipeline.entitiesAmplifiedRange(spark, sfDir, a, b, repTotal)
+          .select("url", "ent_idx", "lon", "lat")
+          .write.mode("overwrite").parquet(d)
+      }
+      d
+    }
+    val ents = spark.read.parquet(dirs: _*)
     val feats = ents.count()
+    val matSec = (System.nanoTime() - tMat0) / 1e9
     def job() = Pipeline.enrichPrebuilt(ents, containing, knn)
     force(job()) // warmup (JIT + codegen)
     // start barrier: signal ready, wait for coordinator's "go", so every
@@ -55,24 +76,26 @@ object BenchClusterWorker {
     val t0 = System.nanoTime()
     force(job())
     val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[worker] from=$repFrom mat=$matSec%.1f timed=$sec%.3f")
     println(f"WORKER from=$repFrom to=$repTo feats=$feats sec=$sec%.3f")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    try rm(new java.io.File(entDir)) catch { case _: Throwable => () }
+    // entDir deliberately NOT deleted: later sample pairs reuse it; the
+    // coordinator (Bench) removes graft_bench_ents_* when the scaling
+    // phase ends
     spark.stop()
   }
 }
 
 object BenchCluster {
 
-  final case class ClusterRun(workers: Int, feats: Long, maxSec: Double) {
+  final case class ClusterRun(workers: Int, cores: Int, feats: Long, maxSec: Double) {
     def fps: Double = feats / maxSec
   }
 
   /** Launch `workers` JVMs, each `cores`-wide, over disjoint slices of
-    * `repTotal`; returns total features and the max per-worker timed sec. */
+    * `repTotal`; returns total features and the max per-worker timed sec.
+    * The scaling phase calls this with workers=1 at two different widths
+    * (N vs 4N cores, one fresh JVM per sample, sequential — see Bench for
+    * why the concurrent multi-JVM form is unmeasurable on this sandbox). */
   def run(workers: Int, cores: Int, repTotal: Int, sfDir: String): ClusterRun = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -89,7 +112,7 @@ object BenchCluster {
       val from = w * slice
       val to = if (w == workers - 1) repTotal else (w + 1) * slice
       val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx10g", "-XX:+UseParallelGC", "-XX:ParallelGCThreads=4",
+        "-Xmx10g", "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=${math.max(2, cores / 2)}",
         "-Dspark.ui.enabled=false", s"-Djava.io.tmpdir=${Scratch.dir}",
         "-cp", cp, "graft.BenchClusterWorker",
         cores.toString, from.toString, to.toString, repTotal.toString, sfDir, syncDir)
@@ -106,13 +129,15 @@ object BenchCluster {
       out
     }
     val stats = outputs.map { out =>
+      // surface the workers' phase-timing diagnostics
+      out.linesIterator.filter(_.startsWith("[worker]")).foreach(System.err.println)
       val line = out.linesIterator.find(_.startsWith("WORKER")).getOrElse(
         throw new IllegalStateException(s"worker failed:\n${out.takeRight(2000)}"))
       val kv = line.split(" ").collect { case s if s.contains("=") =>
         val Array(k, v) = s.split("="); k -> v }.toMap
       (kv("feats").toLong, kv("sec").toDouble)
     }
-    System.err.println(s"[cluster] worker secs: ${stats.map(s => f"${s._2}%.2f").mkString(", ")}")
-    ClusterRun(workers, stats.map(_._1).sum, stats.map(_._2).max)
+    System.err.println(s"[cluster] local[$cores] worker secs: ${stats.map(s => f"${s._2}%.2f").mkString(", ")}")
+    ClusterRun(workers, cores, stats.map(_._1).sum, stats.map(_._2).max)
   }
 }

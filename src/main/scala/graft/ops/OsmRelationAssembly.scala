@@ -46,10 +46,17 @@ object OsmRelationAssembly {
                                      pts: Vector[(Double, Double)])
 
   /** Stitch member ways into closed rings. Each way's pts are its resolved
-    * vertices in ref order. */
+    * vertices in ref order. Endpoint lookups go through an index (each
+    * endpoint -> member indices sorted by way_id), so stitching is
+    * O(members * log) rather than a linear rescan per extension — real OSM
+    * mega-relations (coastlines, national boundaries) carry thousands of
+    * member ways. */
   private[ops] def stitchRings(
       members: Seq[(Long, String, Seq[(Double, Double)])]): Seq[Ring] = {
     val usable = members.filter(_._3.length >= 2).sortBy(_._1)
+    val byEndpoint = mutable.Map.empty[(Double, Double), mutable.ArrayBuffer[Int]]
+    for (j <- usable.indices; p <- Seq(usable(j)._3.head, usable(j)._3.last).distinct)
+      byEndpoint.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += j
     val used = mutable.Set.empty[Int]
     val rings = mutable.ArrayBuffer.empty[Ring]
     for (start <- usable.indices if !used(start)) {
@@ -62,10 +69,9 @@ object OsmRelationAssembly {
       while (!closed && progress) {
         progress = false
         val end = ring.last
-        // smallest-way_id unused way sharing the current end point
-        val nextIdx = usable.indices.find { j =>
-          !used(j) && (usable(j)._3.head == end || usable(j)._3.last == end)
-        }
+        // smallest-way_id unused way sharing the current end point (the
+        // per-endpoint buffers are in way_id order because usable is)
+        val nextIdx = byEndpoint.get(end).flatMap(_.find(!used(_)))
         nextIdx.foreach { j =>
           val (wid, _, pts) = usable(j)
           used += j

@@ -37,15 +37,30 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
   }
 
   test("prod dedup entry points run the heavy-hitter-capped path by default") {
-    // the cap manifests as a bucket-size / shingle-frequency aggregate +
-    // filter in the logical plan (aliases bsz / sh_df are internal to the
-    // capped branches, so their presence IS the capped path)
-    val p21 = SparkEntry.queries("q21_minhash_lsh")(spark, Sf)
-      .queryExecution.analyzed.toString
-    assert(p21.contains("bsz"), "q21 default must run the capped LSH-bucket path")
-    val p23 = SparkEntry.queries("q23_jaccard_pairs")(spark, Sf)
-      .queryExecution.analyzed.toString
-    assert(p23.contains("sh_df"), "q23 default must run the capped shingle path")
+    // semantic check, not plan text: the capped branches localCheckpoint
+    // their bucket tables (a measured 2x win), which truncates lineage and
+    // hides the cap aliases from the plan. Instead, plant a mega-bucket
+    // just over the default cap and assert the DEFAULT call drops it.
+    import spark.implicits._
+    val n = graft.ops.Dedup.MaxBucketDefault + 1
+    val mega = (0 until n).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // n identical docs -> one LSH bucket of size n > MaxBucketDefault in
+    // every band, and every shingle with doc-frequency n > the default
+    // shingle cap: a capped default emits ZERO pairs (uncapped would emit
+    // n(n-1)/2), so a silently-removed cap fails loudly here
+    assert(graft.ops.Dedup.minhashPairs(mega).count() === 0L,
+      "q21 entry point (minhashPairs defaults) must cap oversized LSH buckets")
+    assert(graft.ops.Dedup.jaccardPairs(mega).count() === 0L,
+      "q23 entry point (jaccardPairs defaults) must cap high-frequency shingles")
+    // and the cap machinery itself: a small corpus under an explicit tiny
+    // cap drops everything; uncapped emits all 66 pairs
+    val small = (0 until 12).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.minhashPairs(small, maxBucket = Some(5)).count() === 0L)
+    assert(graft.ops.Dedup.minhashPairs(small, maxBucket = None).count() === 66L)
+    assert(graft.ops.Dedup.jaccardPairs(small, maxShingleFreq = Some(5)).count() === 0L)
+    assert(graft.ops.Dedup.jaccardPairs(small, maxShingleFreq = None).count() === 66L)
   }
 
   test("no non-baseline query plan contains a cartesian or nested-loop join") {
