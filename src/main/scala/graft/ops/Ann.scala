@@ -249,9 +249,16 @@ object Ann {
   def topKIvf(embeddings: DataFrame, k: Int, qmod: Int, nlist: Int = 16,
               nprobe: Int = 2, iters: Int = 3,
               queryPred: Option[Column] = None): DataFrame = {
+    // Materialize (vec_id, q, v, vv) ONCE: it is consumed 2·iters+3 times
+    // (per-round assign + recompute, then cands/queries/init) — without
+    // this, every consumer re-reads the parquet and re-runs the quantize +
+    // double-cast + self-dot chain. Same pattern as the MinHash sig table
+    // (Dedup.scala): at cluster scale this is a persisted index-build
+    // table, exactly what a real IVF build (FAISS train+add) materializes.
     val vecs = quantized(embeddings).select(col("vec_id"), col("q"),
         transform(col("q"), _.cast("double")).as("v"))
       .withColumn("vv", VectorExpressions.doubleDot(col("v"), col("v")))
+      .localCheckpoint(false)
     val cents = kmeansCentroids(vecs, nlist, iters)
     val cands = assignCells(vecs, cents)
       .select(col("vec_id").as("nn_id"), col("q").as("cq"), col("cid"))
