@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.geom.WkbCodec
+
 
 /** OSM node<->way resolution — the reference's one real dataflow join (J1,
   * `/root/reference/src/format/osmpbf.rs:53-88`), re-expressed Spark-first:
@@ -43,21 +43,11 @@ object OsmWayAssembly {
         first(col("first_ref") === col("last_ref")).as("closed"),
         sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("pts"))
 
-    val buildGeom = udf((closed: Boolean, pts: Seq[org.apache.spark.sql.Row]) => {
-      val coords = pts.map(r => (r.getDouble(1), r.getDouble(2)))
-      if (closed) {
-        val ring = if (coords.nonEmpty && coords.head != coords.last) coords :+ coords.head else coords
-        if (ring.length >= 4) WkbCodec.write(WkbCodec.polygon(coords)) else null
-      } else {
-        if (coords.length >= 2) WkbCodec.write(WkbCodec.lineString(coords)) else null
-      }
-    })
-
     grouped.select(
       col("way_id"),
       col("tags"),
       when(col("closed"), "Polygon").otherwise("LineString").as("kind"),
       size(col("pts")).as("npts"),
-      buildGeom(col("closed"), col("pts")).as("geom"))
+      GeoExpressions.wayWkb(col("closed"), col("pts")).as("geom"))
   }
 }
