@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.util.Comparator
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{GraftShim => ExpressionUtils}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document top-N character-trigram rank profile as ONE native
+  * expression: `array<struct<g: string, r: int>>` with 1-based ranks by
+  * (count desc, gram binary asc).
+  *
+  * This replaces the distributed form
+  * `explode(trigrams) -> groupBy(doc_id, g).count -> row_number() OVER
+  * (PARTITION BY doc_id ORDER BY c DESC, g) <= N`, whose exploded trigram
+  * stream (one row per CHARACTER of every document) is the widest
+  * intermediate of the language-ID query — at 100 TB it shuffles the
+  * corpus ~an order of magnitude amplified, only to immediately collapse
+  * back to N rows per doc. The profile is a per-document-local
+  * computation, so it belongs inside the row: count in a local hash map,
+  * sort (count desc, gram asc), take N. Nothing but the N-row profile
+  * ever leaves the task.
+  *
+  * Parity: trigrams are `substring(i, 3)` by CODEPOINTS on the raw
+  * [[UTF8String]] (same semantics as the SQL `substr` the previous plan
+  * and the DuckDB oracle use) and the tie-break compares UTF8Strings —
+  * binary UTF-8 order, identical to Spark's `ORDER BY g` and DuckDB's
+  * string collation. Integer counts, deterministic end to end; the q37
+  * oracle SQL is unchanged and stays hash-green.
+  */
+case class TrigramTopN(child: Expression, topN: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("g", StringType), StructField("r", IntegerType))),
+    containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i + 3 <= n) {
+      counts.merge(s.substring(i, i + 3), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      i += 1
+    }
+    val entries = new java.util.ArrayList[java.util.Map.Entry[UTF8String, Integer]](counts.entrySet())
+    entries.sort(new Comparator[java.util.Map.Entry[UTF8String, Integer]] {
+      override def compare(a: java.util.Map.Entry[UTF8String, Integer],
+                           b: java.util.Map.Entry[UTF8String, Integer]): Int = {
+        val c = java.lang.Integer.compare(b.getValue.intValue, a.getValue.intValue) // count desc
+        if (c != 0) c else a.getKey.compareTo(b.getKey)           // gram binary asc
+      }
+    })
+    val m = math.min(topN, entries.size())
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      out(r) = InternalRow(entries.get(r).getKey, r + 1)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "trigram_topn"
+}
+
+object NgramExpressions {
+  def trigramTopN(text: Column, topN: Int): Column =
+    ExpressionUtils.column(TrigramTopN(ExpressionUtils.expression(text), topN))
+}

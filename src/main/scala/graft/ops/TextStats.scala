@@ -94,19 +94,23 @@ object TextStats {
     * language, ties broken alphabetically. Integer-exact end to end, so
     * the DuckDB oracle ([[langIdNgramSql]]) agrees bit-for-bit.
     *
-    * Plan shape: trigram explode -> count (shuffle on (doc, gram), partial
-    * agg) -> per-DOC window rank (partitioned — no global sort) ->
-    * broadcast join against the tiny profile table -> per-doc argmin via
-    * min(struct). Scales linearly in corpus size. */
+    * Plan shape: the per-doc top-TopN trigram rank profile is computed
+    * INSIDE the row by the native [[TrigramTopN]] expression (the profile
+    * is document-local — counting and ranking trigrams needs nothing from
+    * any other row), then only the <= TopN profile rows per doc explode
+    * into the broadcast join against the tiny language-profile table and
+    * the per-doc argmin via min(struct). The previous distributed form
+    * (trigram explode -> groupBy(doc, gram) -> per-doc window rank)
+    * shuffled one row per CHARACTER of the corpus — the widest
+    * intermediate of the whole text suite — only to collapse straight
+    * back to TopN rows per doc. Identical output (same codepoint
+    * substrings, same (count desc, gram binary asc) rank order); the
+    * DuckDB oracle SQL keeps the declarative window form. */
   def langIdNgram(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gramsCol = when(length(col("text")) >= 3,
-      transform(sequence(lit(1), length(col("text")) - 2), i => col("text").substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-    val cnt = docs.select(col("doc_id"), explode(gramsCol).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
-    val dtop = cnt.withColumn("r", row_number().over(w)).filter(col("r") <= TopN)
+    val dtop = docs
+      .select(col("doc_id"),
+        explode(NgramExpressions.trigramTopN(col("text"), TopN)).as("gr"))
+      .select(col("doc_id"), col("gr.g").as("g"), col("gr.r").as("r"))
     val prof = docs.sparkSession.createDataFrame(Profiles).toDF("lang", "g", "pr")
     val credit = dtop.join(broadcast(prof), "g")
       .groupBy("doc_id", "lang")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Dedup, TextStats}
+import graft.ops.{Ann, Dedup, NgramExpressions, TextStats}
 
 class DedupAnnSpec extends AnyFunSuite with SparkTest {
 
@@ -230,6 +230,28 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     val l = TextStats.langId(d).select("doc_id", "pred_lang", "s_en", "s_de", "s_es")
       .as[(Long, String, Long, Long, Long)].collect().head
     assert(l === ((7L, "en", 2L, 2L, 1L))) // tie en/de -> en precedence
+  }
+
+  test("trigram_topn expression matches the Scala reference profile (ties included)") {
+    import spark.implicits._
+    // tie-heavy inputs: many grams with equal counts exercise the
+    // (count desc, gram asc) tie-break; "aaaa..." exercises overlap counts
+    val texts = Seq(
+      "abcabcabd abd abc",          // abc vs abd count ties broken by order
+      "aaaaaa",                      // one gram, count 4
+      TextStats.LangSeeds.head._2,   // a full seed
+      "zyxwvutsrqponmlkjihgfedcba",  // 24 distinct grams, all count 1
+      "ab")                          // below trigram length -> empty profile
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        explode(NgramExpressions.trigramTopN(col("text"), TextStats.TopN)).as("gr"))
+      .select(col("doc_id"), col("gr.g"), col("gr.r"))
+      .as[(Long, String, Int)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(v => (v._2, v._3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = TextStats.trigramProfile(t)
+      assert(got.getOrElse(i.toLong, Seq.empty) === want, s"text #$i")
+    }
   }
 
   test("n-gram lang id: seeds self-classify, held-out sentences classify, short text deterministic") {
