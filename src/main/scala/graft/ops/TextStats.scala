@@ -238,20 +238,19 @@ object TextStats {
   /** Test-set contamination scan: flag every document sharing >= 1 word
     * 3-shingle with the probe set — the decontamination pass a training
     * pipeline runs against its eval benchmarks before training. The probe
-    * set is tiny (benchmark-sized), so it broadcasts; the document side
-    * streams through exactly once (explode -> semi-join -> groupBy with
-    * partial agg). Output one row per doc: n_hits (distinct probe
-    * shingles present) and hit01. */
+    * set is tiny (benchmark-sized), so the whole check is ROW-LOCAL:
+    * n_hits = |distinct doc shingles ∩ probes| via `array_intersect`
+    * against a literal probe array — one narrow codegen'd projection, no
+    * explode, no shuffle, no join. (The previous form exploded distinct
+    * (doc, shingle) pairs — a corpus-wide distinct SHUFFLE — then
+    * semi-joined the broadcast probes; at 100 TB the row-local form
+    * touches nothing but the document row.) Output one row per doc:
+    * n_hits (distinct probe shingles present) and hit01. */
   def contamination(docs: DataFrame, probes: Seq[String] = ProbeShingles): DataFrame = {
-    val probeDf = docs.sparkSession.createDataFrame(
-      probes.distinct.map(Tuple1(_))).toDF("sh")
-    val hits = graft.ops.Dedup.shingled(docs)
-      .join(broadcast(probeDf), "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L).as("hit01"))
+    val probeArr = array(probes.distinct.map(lit): _*)
+    val nHits = size(array_intersect(graft.ops.Dedup.shingleArr, probeArr)).cast("long")
+    docs.select(col("doc_id"), nHits.as("n_hits"),
+      when(nHits > 0, 1L).otherwise(0L).as("hit01"))
   }
 
   def contaminationSql(probes: Seq[String] = ProbeShingles): String = {
