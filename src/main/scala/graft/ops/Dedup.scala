@@ -150,12 +150,12 @@ object Dedup {
   def shingled(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), explode(shingleArr).as("sh")).distinct()
 
-  /** Production shingle ids: hash BEFORE the dedup shuffle, so the
-    * distinct runs on 16-byte (long, long) rows instead of full shingle
-    * strings — at 100 TB the shingle stream is the widest intermediate in
-    * the whole minhash pipeline, and its `distinct` is the dominant
-    * shuffle. Collisions are accepted by this path by definition
-    * (tid = xxhash64 already). */
+  /** Hashed shingle ids in exploded form — the reference implementation
+    * the row-local [[minhashSigProd]] is spec-checked against (bit-equal
+    * signatures), kept for that parity test and for callers that need the
+    * (doc, tid) stream itself. Hashes BEFORE the dedup shuffle so the
+    * distinct runs on 16-byte (long, long) rows instead of shingle
+    * strings; collisions are accepted by this path by definition. */
   def shingledHashedIds(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), explode(shingleArr).as("sh"))
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("tid"))
@@ -163,6 +163,38 @@ object Dedup {
 
   /** Oracle-parity shingle ids: sh -> dense 1-based rank in sorted order. */
   def shVocab(sh: DataFrame): DataFrame = denseIds(sh, "sh")
+
+  /** Row-local production signature m0..m11: min_i over the doc's shingles
+    * of `(xxhash64(sh) mod P * A_i + B_i) mod P`, computed INSIDE the row
+    * by the native [[MinhashSig]] expression — no explode, no distinct
+    * shuffle, no groupBy shuffle, no per-shingle allocation. min over the
+    * shingle stream WITH duplicates == min over distinct shingles (min is
+    * duplicate-insensitive), so this is bit-identical to
+    * `minhashSig(shingledHashedIds(corpus))` (spec-pinned). At 100 TB the
+    * exploded (doc, shingle) stream is the widest intermediate of the whole
+    * pipeline; this never materializes it.
+    *
+    * Two projections on purpose: the one-pass signature array is computed
+    * under an alias and the 12 m_i columns are cheap `element_at` picks —
+    * CollapseProject never inlines a non-cheap alias referenced by many
+    * consumers, so the expression runs once per row.
+    *
+    * ONE definition shared by the batch prod path ([[minhashPairsProd]])
+    * and the streaming path ([[graft.streaming.StreamDedup.bandKeys]]) —
+    * stream-vs-batch signature parity is true by construction.
+    *
+    * @param keep passthrough columns of `docs` (e.g. doc_id, ts); docs with
+    *   no shingles (< 3 tokens) are dropped (batch parity). */
+  private[graft] def withProdSig(docs: DataFrame, keep: Seq[Column]): DataFrame = {
+    val sigs = (0 until NumHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i"))
+    docs.select(keep :+ MinhashExpressions.minhashSig(col("text")).as("__sig"): _*)
+      .select(keep ++ sigs: _*)
+      .filter(col("m0").isNotNull) // < 3 tokens -> no shingles -> null sig
+  }
+
+  /** One row per doc with >= 1 shingle: (doc_id, m0..m11), row-local. */
+  def minhashSigProd(corpus: DataFrame): DataFrame =
+    withProdSig(corpus, Seq(col("doc_id")))
 
   /** MinHash-LSH candidate pairs over 3-shingles, oracle-parity ids.
     * Heavy-hitter bucket cap defaults ON ([[MaxBucketDefault]]); pass
@@ -182,10 +214,12 @@ object Dedup {
 
   /** Production variant: shingle id = xxhash64(sh) mod P, no global
     * dictionary, heavy-hitter bucket cap on — the 100 TB path (rows-only
-    * checked; the oracle-parity path q21 stays uncapped + exact). */
+    * checked; the oracle-parity path q21 stays uncapped + exact).
+    * Signatures are row-local ([[minhashSigProd]]): the only shuffles left
+    * are the bucket-cap count and the bucket self-join. */
   def minhashPairsProd(corpus: DataFrame, maxBucket: Int = 1000,
                        logDrops: Boolean = false): DataFrame =
-    bandPairs(minhashSig(shingledHashedIds(corpus)), Some(maxBucket), logDrops)
+    bandPairs(minhashSigProd(corpus), Some(maxBucket), logDrops)
 
   // SimHash: 16 planes; plane j contribution of a token = +1 if
   // (tid*PA_j + PB_j) mod P < P/2 else -1 (threshold, NOT parity: the

@@ -47,15 +47,7 @@ object StreamDedup {
     * Docs shorter than 3 tokens have no shingles — no signature, no rows
     * (batch parity). */
   def bandKeys(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleArr
-    val sigs = (0 until Dedup.NumHashes).map { i =>
-      array_min(transform(sh, s =>
-        (pmod(xxhash64(s), lit(Dedup.P)) * Dedup.HashA(i) + Dedup.HashB(i)) % Dedup.P))
-        .as(s"m$i")
-    }
-    docs
-      .select(col("doc_id") +: col("ts") +: sigs: _*)
-      .filter(col("m0").isNotNull) // < 3 tokens -> empty shingle array -> null min
+    Dedup.withProdSig(docs, Seq(col("doc_id"), col("ts")))
       .select(col("doc_id"), col("ts"),
         explode(array(Dedup.bandKeyStructs: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("doc_id"), col("ts"))

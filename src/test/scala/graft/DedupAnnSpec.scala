@@ -29,6 +29,28 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(prod === Set((1L, 2L)))
   }
 
+  test("row-local prod signature == exploded distinct+groupBy signature, bit for bit") {
+    import spark.implicits._
+    // mixed shapes: duplicates within a doc (idempotent min), exact dup
+    // docs, a short doc with zero shingles (must vanish from both forms)
+    val d = docs(
+      (1L, "a b c a b c a b c"),
+      (2L, "the fast key order sort table scan merge part window"),
+      (3L, "the fast key order sort table scan merge part window"),
+      (4L, "too short"),
+      (5L, "x y z w v u t s r q p o n m"))
+    val rowLocal = Dedup.minhashSigProd(d)
+    // the exploded reference form (what minhashPairsProd computed before the
+    // row-local rewrite): distinct (doc, tid) rows then min per hash
+    val mins = (0 until Dedup.NumHashes).map(i =>
+      min((col("tid") * Dedup.HashA(i) + Dedup.HashB(i)) % Dedup.P).as(s"m$i"))
+    val exploded = Dedup.shingledHashedIds(d).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val a = rowLocal.collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = exploded.collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq === b.toSeq)
+    assert(rowLocal.filter(col("doc_id") === 4L).isEmpty)
+  }
+
   test("heavy-hitter guard: mega-bucket dropped from LSH candidates, small bucket kept") {
     import spark.implicits._
     // 30 identical docs -> one bucket of 30 per band; 2 similar docs -> small buckets
