@@ -148,7 +148,13 @@ object Dedup {
   }
 
   def shingled(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), explode(shingleArr).as("sh")).distinct()
+    // per-doc-distinct shingles computed INSIDE the row (native
+    // WordShingles): (doc_id, sh) rows are globally distinct by
+    // construction (doc_id is in every row), so the old global
+    // `.distinct()` — a full shuffle of the widest string stream in the
+    // dedup suite, deduping only within-document repeats — is gone. This
+    // stage is now a narrow, exchange-free projection.
+    corpus.select(col("doc_id"), explode(MinhashExpressions.distinctShingles(col("text"))).as("sh"))
 
   /** Hashed shingle ids in exploded form — the reference implementation
     * the row-local [[minhashSigProd]] is spec-checked against (bit-equal
@@ -233,7 +239,11 @@ object Dedup {
   def simhash(corpus: DataFrame): DataFrame = {
     // same shared-subtree materialization as minhashPairs: toks feeds both
     // the vocab build and the join probe
-    val toks = tokens(corpus).distinct().localCheckpoint(false)
+    // per-doc-distinct tokens row-locally (native WordShingles n=1): same
+    // rows as tokens().distinct() with no dedup shuffle
+    val toks = corpus.select(col("doc_id"),
+      explode(MinhashExpressions.distinctShingles(col("text"), 1)).as("tok"))
+      .localCheckpoint(false)
     val withTid = toks.join(vocab(toks), "tok").select("doc_id", "tid")
     val sums = (0 until Planes).map(j =>
       sum(when((col("tid") * PlaneA(j) + PlaneB(j)) % P < HalfP, 1L).otherwise(-1L)).as(s"s$j"))

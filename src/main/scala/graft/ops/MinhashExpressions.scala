@@ -99,7 +99,84 @@ case class MinhashSig(child: Expression)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Word n-shingles of a text as ONE native pass: tokenize on single
+  * spaces (empties dropped, duplicates kept) and emit each run of `n`
+  * consecutive tokens joined by a single space — `array<string>`, empty
+  * when the doc has fewer than `n` tokens. With `distinct = true` the
+  * first occurrence of each shingle is kept (set semantics; order is
+  * irrelevant to every consumer — vocab ranks, joins, counts).
+  *
+  * Why native, and why distinct INSIDE the row: the column form
+  * (`transform(sequence(...), i -> concat_ws(" ", slice(toks, i, n)))`)
+  * is an interpreted HOF chain, and the global `.distinct()` it fed
+  * shuffled the full (doc_id, shingle) string stream — the widest
+  * intermediate of the dedup suite — only to drop rows that are
+  * duplicates WITHIN a single document. Per-doc dedup is row-local, so
+  * `explode(word_shingles(text))` yields an already-distinct (doc_id, sh)
+  * stream with NO exchange at all. `n = 1` gives distinct tokens (the
+  * SimHash input) with the same property. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nTok = 0
+    var starts = new Array[Int](math.max(8, len / 4))
+    var ends = new Array[Int](starts.length)
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && bytes(i) != ' ') i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      }
+    }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val seen = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
+    val out = if (distinct) null else new Array[Any](nTok - n + 1)
+    var sh = 0
+    while (sh + n <= nTok) {
+      var l = n - 1
+      var k = 0
+      while (k < n) { l += ends(sh + k) - starts(sh + k); k += 1 }
+      val buf = new Array[Byte](l)
+      var p = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { buf(p) = ' '; p += 1 }
+        val tl = ends(sh + k) - starts(sh + k)
+        System.arraycopy(bytes, starts(sh + k), buf, p, tl)
+        p += tl
+        k += 1
+      }
+      val u = UTF8String.fromBytes(buf)
+      if (distinct) seen.add(u) else out(sh) = u
+      sh += 1
+    }
+    if (distinct) new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+    else new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 object MinhashExpressions {
   def minhashSig(text: Column): Column =
     ExpressionUtils.column(MinhashSig(ExpressionUtils.expression(text)))
+
+  /** Distinct word 3-shingles (set semantics, first-occurrence order). */
+  def distinctShingles(text: Column, n: Int = 3): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct = true))
 }

@@ -248,7 +248,10 @@ object TextStats {
     * n_hits (distinct probe shingles present) and hit01. */
   def contamination(docs: DataFrame, probes: Seq[String] = ProbeShingles): DataFrame = {
     val probeArr = array(probes.distinct.map(lit): _*)
-    val nHits = size(array_intersect(graft.ops.Dedup.shingleArr, probeArr)).cast("long")
+    // native distinct-shingle array (one pass; array_intersect is
+    // distinct-valued anyway, so per-doc-distinct input is identical)
+    val nHits = size(array_intersect(
+      graft.ops.MinhashExpressions.distinctShingles(col("text")), probeArr)).cast("long")
     docs.select(col("doc_id"), nHits.as("n_hits"),
       when(nHits > 0, 1L).otherwise(0L).as("hit01"))
   }
