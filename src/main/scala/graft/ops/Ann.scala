@@ -172,38 +172,60 @@ object Ann {
 
   // ---------------- IVF (inverted-file) ANN ----------------
 
-  /** Deterministic Lloyd k-means over the quantized vectors, pure DataFrame
-    * ops: init = the `nlist` lowest vec_ids (reproducible, no RNG), then
-    * `iters` rounds of assign (crossJoin with the BROADCAST centroid table,
-    * argmin d2 via min(struct)) + recompute (posexplode dims, avg per
-    * (cid, dim), reassemble with sort_array). Centroids are collected to
-    * the driver each round — nlist rows of 64 doubles, a dim-table build,
-    * which also resets the iteration lineage (no exponentially growing
-    * plan). d2 uses the native [[DoubleDot]]: d2 = vv - 2·v·c + cc.
+  /** Deterministic Lloyd k-means trained on a bounded SAMPLE, the way a
+    * real IVF build works (FAISS trains its coarse quantizer on ~a few
+    * hundred vectors per centroid, never the full corpus — at 100 TB an
+    * exact full-corpus k-means would re-shuffle or re-scan everything per
+    * round for centroids that a sample estimates just as well). Sample =
+    * the `sampleCap` lowest vec_ids (reproducible, no RNG; one TakeOrdered
+    * job), init = the first `nlist` of them, then `iters` Lloyd rounds run
+    * ON THE DRIVER over that sample: assign by d2 = vv - 2·v·c + cc with
+    * (d2, cid) tie-break — the same formula [[assignCells]] applies
+    * distributedly — and sequential-sum means (bit-deterministic, unlike
+    * the distributed float avg this replaces). The full corpus is touched
+    * exactly once afterwards, by the one distributed [[assignCells]] pass.
     * Returns (cid, c: Array[Double], cc). */
-  private[graft] def kmeansCentroids(vecs: DataFrame, nlist: Int, iters: Int): DataFrame = {
+  private[graft] def kmeansCentroids(vecs: DataFrame, nlist: Int, iters: Int,
+                                     sampleCap: Int = 65536): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    def centDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
-      cs.toDF("cid", "c")
-        .withColumn("cc", VectorExpressions.doubleDot(col("c"), col("c")))
-    var cents = centDf(
-      vecs.orderBy("vec_id").limit(nlist).select(col("vec_id"), col("v"))
-        .collect().zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq)
+    val sample: Array[Array[Double]] =
+      vecs.orderBy("vec_id").limit(sampleCap).select(col("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
+    val vv = sample.map(v => { var s = 0.0; var i = 0; while (i < dim) { s += v(i) * v(i); i += 1 }; s })
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(vecs, cents)
-      val recomputed = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("cx"))
-        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("a"))
-        .select(col("cid"), transform(col("a"), s => s.getField("cx")).as("c"))
-        .as[(Long, Seq[Double])].collect().toMap
-      // an emptied cell keeps its previous centroid
-      cents = centDf(cents.select(col("cid"), col("c")).as[(Long, Seq[Double])]
-        .collect().toSeq.map { case (cid, c) => (cid, recomputed.getOrElse(cid, c)) })
+      val cc = cents.map(c => { var s = 0.0; var i = 0; while (i < dim) { s += c(i) * c(i); i += 1 }; s })
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r)
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < nlist) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cents(j)(i); i += 1 }
+          val d2 = vv(r) - 2.0 * dot + cc(j)
+          if (d2 < bestD) { bestD = d2; best = j } // strict < == (d2, cid) tie-break
+          j += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      cents = Array.tabulate(nlist) { j =>
+        // an emptied cell keeps its previous centroid
+        if (counts(j) == 0) cents(j)
+        else { val s = sums(j); val c = new Array[Double](dim)
+          var i = 0; while (i < dim) { c(i) = s(i) / counts(j); i += 1 }; c }
+      }
     }
-    cents
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "c")
+      .withColumn("cc", VectorExpressions.doubleDot(col("c"), col("c")))
   }
 
   /** Centroid table as ONE literal array-of-structs column (nlist structs
@@ -238,8 +260,8 @@ object Ann {
     * rerank + bounded-heap top-k. The candidate join is an EQUI-join on
     * cell id touching ~nprobe/nlist of the corpus — with per-cell heavy
     * skew handled by the same bounded-heap partial agg as the LSH path.
-    * Approximate by design => rows-only checked (the k-means uses float
-    * avg, whose distributed sum order is not bit-pinned); the deterministic
+    * Approximate by design => rows-only checked (cell shapes depend on the
+    * sampled k-means training set); the deterministic
     * recall contract (an identical planted vector shares the nearest cell,
     * so a mirror is ALWAYS found at rank 1) is unit-tested AND
     * oracle-checked end-to-end by q58 over the mirrored corpus.
@@ -249,8 +271,8 @@ object Ann {
   def topKIvf(embeddings: DataFrame, k: Int, qmod: Int, nlist: Int = 16,
               nprobe: Int = 2, iters: Int = 3,
               queryPred: Option[Column] = None): DataFrame = {
-    // Materialize (vec_id, q, v, vv) ONCE: it is consumed 2·iters+3 times
-    // (per-round assign + recompute, then cands/queries/init) — without
+    // Materialize (vec_id, q, v, vv) ONCE: it is consumed three times
+    // (k-means training sample, candidate assign, query probe) — without
     // this, every consumer re-reads the parquet and re-runs the quantize +
     // double-cast + self-dot chain. Same pattern as the MinHash sig table
     // (Dedup.scala): at cluster scale this is a persisted index-build
