@@ -34,14 +34,6 @@ object Dedup {
     corpus.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, tok) — whitespace tokens, empties dropped, duplicates kept. */
-  def tokens(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-
-  val tokensSqlFrom = // FROM-clause body over a corpus relation `c`
-    "SELECT c.doc_id, unnest(list_filter(string_split(c.text, ' '), t -> t <> '')) AS tok FROM"
-
   /** Distributed dense ids: key -> 1-based rank in GLOBAL sorted order,
     * computed without a single-partition window (the scale-killer at a
     * 10^9-entry vocabulary). Two phases: range-partition + sort-within the
