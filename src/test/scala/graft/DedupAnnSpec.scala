@@ -29,6 +29,33 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(prod === Set((1L, 2L)))
   }
 
+  test("native WordShingles == column-form shingles on edge-case texts") {
+    import spark.implicits._
+    // multibyte UTF-8, repeated/leading/trailing spaces, exactly-3-token
+    // docs, within-doc repeats, and a 2-token doc (no shingles)
+    val texts = Seq(
+      "héllo wörld ünïcode héllo wörld ünïcode",
+      "  a  b   c  ",
+      "x y z",
+      "a a a a a",
+      "one two",
+      "日本語 テスト 文字 列 で す")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // old column form: distinct set via explode(shingleArr).distinct
+    val oldForm = d.select(col("doc_id"), explode(Dedup.shingleArr).as("sh")).distinct()
+      .as[(Long, String)].collect().toSet
+    val newForm = Dedup.shingled(d).as[(Long, String)].collect().toSet
+    assert(newForm === oldForm)
+    // n=1 tokens match split+filter distinct
+    val oldToks = d.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok")).distinct()
+      .as[(Long, String)].collect().toSet
+    val newToks = d.select(col("doc_id"),
+        explode(graft.ops.MinhashExpressions.distinctShingles(col("text"), 1)).as("tok"))
+      .as[(Long, String)].collect().toSet
+    assert(newToks === oldToks)
+  }
+
   test("row-local prod signature == exploded distinct+groupBy signature, bit for bit") {
     import spark.implicits._
     // mixed shapes: duplicates within a doc (idempotent min), exact dup

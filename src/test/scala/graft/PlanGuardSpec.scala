@@ -63,6 +63,40 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
     assert(graft.ops.Dedup.jaccardPairs(small, maxShingleFreq = None).count() === 66L)
   }
 
+  test("prod minhash signature stage is exchange-free (row-local, no explode)") {
+    import spark.implicits._
+    val docs = (0 until 8).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sig = graft.ops.Dedup.minhashSigProd(docs)
+    val exchanges = physical(sig).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.nodeName
+    }
+    assert(exchanges.isEmpty,
+      s"minhashSigProd plan contains ${exchanges.mkString(", ")} — the signature " +
+        "must be computed inside the row (the exploded shingle stream is the " +
+        "widest intermediate of the pipeline)")
+    val generates = sig.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.isEmpty, "minhashSigProd must not explode shingles")
+  }
+
+  test("shingled (doc_id, sh) stream needs no global distinct exchange") {
+    import spark.implicits._
+    val docs = (0 until 8).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingled(docs)
+    val aggsOrExchanges = physical(sh).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.nodeName
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a.nodeName
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a.nodeName
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a.nodeName
+    }
+    assert(aggsOrExchanges.isEmpty,
+      s"shingled plan contains ${aggsOrExchanges.mkString(", ")} — per-doc distinct " +
+        "shingles are row-local; a global distinct shuffles the widest string stream")
+  }
+
   test("no non-baseline query plan contains a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!bruteForceBaselines.contains(name)) {
