@@ -102,9 +102,15 @@ object Bench {
         graft.table.TableLog.write(df, table, "fail", srid = 3857)
       }
       run(s"$tdir/warm")
-      val t0 = System.nanoTime()
-      run(s"$tdir/t")
-      val sec = (System.nanoTime() - t0) / 1e9
+      // best-of-2 timed runs: a single sample is hostage to co-tenant CPU
+      // bursts (the same load measured 98 and 150 MB/s an hour apart);
+      // min wall = uncontended capability, same discipline as the
+      // per-query and scaling phases
+      val sec = (1 to 2).map { i =>
+        val t0 = System.nanoTime()
+        run(s"$tdir/t$i")
+        (System.nanoTime() - t0) / 1e9
+      }.min
       val mb = bytesTotal / 1e6
       (mb, sec, mb / sec)
     } finally {
