@@ -56,6 +56,37 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(newToks === oldToks)
   }
 
+  test("property: native shingles + signature match column forms on random texts") {
+    import spark.implicits._
+    // seeded generator (same idiom as CellGridSpec): random token counts,
+    // token lengths, space runs, and codepoints across ASCII + Latin-1 +
+    // CJK + astral (surrogate-pair) ranges
+    val rnd = new scala.util.Random(1234567)
+    val alphabets = Array("abcdef", "äöüßéñ", "日本語中文한국", "🌍🚀✓∑")
+    def randTok(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      val cps = a.codePoints().toArray
+      (0 until 1 + rnd.nextInt(4)).map(_ => new String(Character.toChars(cps(rnd.nextInt(cps.length))))).mkString
+    }
+    def randText(): String = {
+      val n = rnd.nextInt(8)
+      (0 until n).map(_ => randTok()).mkString(" " * (1 + rnd.nextInt(3))) +
+        (if (rnd.nextBoolean()) " " else "")
+    }
+    val d = (0 until 300).map(i => (i.toLong, randText())).toDF("doc_id", "text")
+    val oldSh = d.select(col("doc_id"), explode(Dedup.shingleArr).as("sh")).distinct()
+      .as[(Long, String)].collect().toSet
+    val newSh = Dedup.shingled(d).as[(Long, String)].collect().toSet
+    assert(newSh === oldSh)
+    val mins = (0 until Dedup.NumHashes).map(i =>
+      min((col("tid") * Dedup.HashA(i) + Dedup.HashB(i)) % Dedup.P).as(s"m$i"))
+    val oldSig = Dedup.shingledHashedIds(d).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val newSig = Dedup.minhashSigProd(d)
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(newSig === oldSig)
+  }
+
   test("row-local prod signature == exploded distinct+groupBy signature, bit for bit") {
     import spark.implicits._
     // mixed shapes: duplicates within a doc (idempotent min), exact dup
