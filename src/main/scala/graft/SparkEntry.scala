@@ -64,13 +64,22 @@ object SparkEntry {
         min("l_orderkey").cast("long").as("min_ok"),
         max("l_orderkey").cast("long").as("max_ok"))),
 
+    // grouped top-N WITHOUT a window: c_mktsegment has ~5 values, so
+    // `row_number over partitionBy(segment)` sorts the whole orders table
+    // in 5 partitions at scale. TopKByScore keeps a bounded 3-heap with
+    // map-side combine instead; ranking by the IEEE bits of the (positive)
+    // price is rank-identical to ranking by the price, so the oracle's
+    // ORDER BY o_totalprice DESC, o_orderkey comparison is unchanged.
     "q02_join_topn" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-        .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"), col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(TopKByScore(VectorExpressions.doubleBits(col("o_totalprice")),
+          col("o_orderkey"), 3).as("topk"))
+        .select(col("c_mktsegment"), posexplode(col("topk")).as(Seq("pos", "sc")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rnk"),
+          col("sc.nn_id").as("o_orderkey"))
     }),
 
     "q03_window_events" -> ((s, dir) => {

@@ -116,7 +116,34 @@ case class DoubleDot(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "double_dot"
 }
 
+/** Order-preserving double -> long key for [[TopKByScore]] over POSITIVE
+  * doubles: the IEEE-754 bit pattern of non-negative doubles is
+  * order-isomorphic to their numeric order, so ranking by `double_bits`
+  * equals ranking by the double itself — which lets grouped top-N over a
+  * double measure use the bounded-heap partial aggregate instead of a
+  * window sort. Callers must guarantee non-negative input (asserted here:
+  * negative input raises, rather than silently mis-ranking). */
+case class DoubleBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = {
+    val d = a.asInstanceOf[Double]
+    if (d < 0) throw new IllegalArgumentException(s"double_bits requires non-negative input, got $d")
+    java.lang.Double.doubleToRawLongBits(d)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |if ($a < 0) throw new IllegalArgumentException("double_bits requires non-negative input, got " + $a);
+         |${ev.value} = java.lang.Double.doubleToRawLongBits($a);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "double_bits"
+}
+
 object VectorExpressions {
+  def doubleBits(a: Column): Column =
+    ExpressionUtils.column(DoubleBits(ExpressionUtils.expression(a)))
   def longDot(a: Column, b: Column): Column =
     ExpressionUtils.column(LongDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def doubleDot(a: Column, b: Column): Column =
