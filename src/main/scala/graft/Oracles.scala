@@ -373,6 +373,19 @@ object Oracles {
       """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank1_is_mirror
         | FROM embeddings WHERE vec_id % 40 = 0""".stripMargin.replace("\n", " "),
 
+    // same planted-mirror contract through the float-cosine path (q62) —
+    // identical query-side predicate, so the oracle is the same table
+    "q62_cosine_recall" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank1_is_mirror
+        | FROM embeddings WHERE vec_id % 40 = 0""".stripMargin.replace("\n", " "),
+
+    // prod-MinHash exact-duplicate containment: every planted mirror pair
+    // must be found by the capped xxhash64 path (identical signatures share
+    // every band bucket; the heavy-hitter cap only drops degenerate buckets)
+    "q63_minhash_prod_recall" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, CAST(1 AS BIGINT) AS found
+        | FROM documents WHERE doc_id % 3 = 0""".stripMargin.replace("\n", " "),
+
     "q28_lsh_neardup" ->
       s"""WITH $quantElsCorpusCte,
          | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr

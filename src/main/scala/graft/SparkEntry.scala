@@ -323,8 +323,34 @@ object SparkEntry {
           when(col("nn_id") === col("query_id") - 1000000, 1L).otherwise(0L)
             .as("rank1_is_mirror"))
     }),
+    // float-cosine ANN in the same blocked + bounded-heap shape as q33
+    // (rows-only: float ordering is not DuckDB-replicable bit-for-bit;
+    // its planted-mirror recall contract is oracle-checked by q62)
     "q29_cosine_topk" -> ((s, dir) => Ann.cosineTopK(t(s, dir, "embeddings"), k = 5, qmod = 20)),
-    "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir)))
+    "q30_minhash_prod" -> ((s, dir) => Dedup.minhashPairsProd(Dedup.corpus(s, dir))),
+    // cosine-path recall contract (q58's pattern through the FLOAT path):
+    // the rank-1 neighbor of every planted mirror must be its original —
+    // a checkable (query_id, rank1_is_mirror) table, oracle = the contract
+    "q62_cosine_recall" -> ((s, dir) => {
+      val approx = Ann.cosineTopK(Ann.corpus(t(s, dir, "embeddings")), k = 5, qmod = 1,
+        queryPred = Some(col("vec_id") >= 1000000 && col("vec_id") % 40 === 0))
+      approx.filter(col("rank") === 1)
+        .select(col("query_id"),
+          when(col("nn_id") === col("query_id") - 1000000, 1L).otherwise(0L)
+            .as("rank1_is_mirror"))
+    }),
+    // prod-MinHash containment contract: every planted exact-duplicate pair
+    // (identical text => identical xxhash64 signature => same bucket in
+    // every band) must survive the capped production path — emitted as a
+    // checkable (doc_a, doc_b, found) table, oracle = the contract. This is
+    // what converts q30's rows-only status into a checked recall guarantee.
+    "q63_minhash_prod_recall" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairsProd(Dedup.corpus(s, dir))
+      val planted = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000).as("doc_b"))
+      planted.join(pairs.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left_outer")
+        .select(col("doc_a"), col("doc_b"), coalesce(col("hit"), lit(0L)).as("found"))
+    })
   )
 
   /** DuckDB-runnable SQL for each query above; q29/q30/q44 intentionally

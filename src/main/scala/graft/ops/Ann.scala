@@ -302,20 +302,32 @@ object Ann {
 
   /** Production float-cosine top-k (order-dependent float sums — checked
     * rows-only, unit-tested for sanity, not DuckDB-hash-compared). */
-  def cosineTopK(embeddings: DataFrame, k: Int, qmod: Int): DataFrame = {
+  def cosineTopK(embeddings: DataFrame, k: Int, qmod: Int,
+                 blocks: Int = 32, queryPred: Option[Column] = None): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     def dot(a: Column, b: Column) = VectorExpressions.doubleDot(a, b) // same IEEE fold order
-    val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val queries = n.filter(col("vec_id") % qmod === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cands = n.select(col("vec_id").as("nn_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)
-    broadcast(queries).join(cands, col("query_id") =!= col("nn_id"))
+    // zero-norm vectors would make cos NaN (and NaN outranks every real
+    // score in the sortable-bits order) — exclude them as candidates AND
+    // as queries, matching "undefined cosine" semantics
+    val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v")))).filter(col("nrm") > 0)
+    // same scale shape as topKBlocked: block EQUI-join (queries replicated
+    // to `blocks` block ids, candidates keyed by vec_id % blocks) + the
+    // bounded-heap partial aggregate over the double cosine — no
+    // BroadcastNestedLoopJoin, no window moving Q×N scored rows
+    val queries = n.filter(queryPred.getOrElse(col("vec_id") % qmod === 0))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(sequence(lit(0L), lit((blocks - 1).toLong))).as("blk"))
+    val cands = n.select(col("vec_id").as("nn_id"), col("v").as("cv"), col("nrm").as("cn"),
+      pmod(col("vec_id"), lit(blocks.toLong)).as("blk"))
+    val cos = queries.join(cands, Seq("blk"))
+      .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id")
+    cos.groupBy("query_id")
+      .agg(TopKByScore(col("cos"), col("nn_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.nn_id").as("nn_id"))
   }
 }

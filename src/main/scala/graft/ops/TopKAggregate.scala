@@ -23,6 +23,15 @@ import scala.collection.mutable
   * Output: array<struct<nn_id, score>> sorted best-first; rank = posexplode
   * ordinal + 1. Deterministic total order (score desc, id asc) — safe to
   * hash-compare against a brute-force SQL oracle.
+  *
+  * Accepts a LongType or DoubleType score. Doubles are folded through the
+  * order-preserving IEEE-754 bit bijection (sign bit kept, lower 63 bits
+  * flipped for negatives), so the heap and the serialized buffer stay pure
+  * (Long, Long) pairs; eval maps the kept scores back, so the output score
+  * field has the input's type. Same float total order as a
+  * `ORDER BY score DESC` (−0.0 sorts just below +0.0; NaN would sort above
+  * +Inf — callers on the cosine path filter zero-norm vectors instead of
+  * feeding NaN).
   */
 case class TopKByScore(
     score: Expression,
@@ -33,6 +42,24 @@ case class TopKByScore(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
 
   require(k > 0, "k must be positive")
+
+  // dataType is only known post-analysis (a Column-built child starts
+  // unresolved), so the BIGINT/DOUBLE restriction lives in
+  // checkInputDataTypes, not a constructor require
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == LongType || score.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k_by_score: score must be BIGINT or DOUBLE, got ${score.dataType}")
+
+  private def scoreIsDouble: Boolean = score.dataType == DoubleType
+  // order-preserving bijection double -> signed long (and back)
+  private def toSortable(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+  private def fromSortable(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & Long.MaxValue))
 
   // head of the queue = WORST kept element (smallest score, then largest id)
   private val worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
@@ -49,7 +76,8 @@ case class TopKByScore(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf.enqueue((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      val sl = if (scoreIsDouble) toSortable(s.asInstanceOf[Double]) else s.asInstanceOf[Long]
+      buf.enqueue((sl, i.asInstanceOf[Long]))
       if (buf.size > k) buf.dequeue()
     }
     buf
@@ -68,7 +96,8 @@ case class TopKByScore(
     val sorted = buf.toArray.sortWith { (a, b) =>
       if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
     }
-    new GenericArrayData(sorted.map(e => InternalRow(e._2, e._1)))
+    new GenericArrayData(sorted.map(e =>
+      InternalRow(e._2, if (scoreIsDouble) fromSortable(e._1) else e._1)))
   }
 
   override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
@@ -91,7 +120,7 @@ case class TopKByScore(
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("nn_id", LongType, nullable = false),
-    StructField("score", LongType, nullable = false))), containsNull = false)
+    StructField("score", score.dataType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(score, id)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

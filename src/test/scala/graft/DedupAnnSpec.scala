@@ -220,6 +220,49 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("ObjectHashAggregate"), s"partial top-k agg missing:\n$plan")
   }
 
+  test("cosine topK (double scores through the bounded heap) == brute force; no BNLJ") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val df = Ann.cosineTopK(emb, k = 5, qmod = 20)
+    val got = df.as[(Long, Long, Long)].collect().groupBy(_._1)
+    // driver-side brute force with the SAME left-to-right IEEE fold order
+    // as VectorExpressions.doubleDot
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val norms = vecs.map { case (i, v) => i -> math.sqrt(dot(v, v)) }
+    assert(got.nonEmpty)
+    for ((q, rows) <- got) {
+      val brute = vecs.keys.filter(c => c != q && norms(c) > 0).map { c =>
+        val cos = dot(vecs(q), vecs(c)) / (norms(q) * norms(c))
+        (-cos, c)
+      }.toSeq.sorted.take(5).map(_._2)
+      assert(rows.sortBy(_._2).map(_._3).toSeq === brute, s"query $q")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan has BNLJ:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"partial top-k agg missing:\n$plan")
+  }
+
+  test("TopKByScore double-score ordering: sortable-bits bijection total order") {
+    import spark.implicits._
+    // scores straddling sign, magnitude, and -0.0/+0.0
+    val rows = Seq(
+      (1L, 10L, -1.5), (1L, 11L, -0.0), (1L, 12L, 0.0), (1L, 13L, 2.25),
+      (1L, 14L, -2.5), (1L, 15L, 1e-300), (1L, 16L, -1e-300), (1L, 17L, 2.25))
+    val df = rows.toDF("g", "id", "s").groupBy("g")
+      .agg(graft.ops.TopKByScore(col("s"), col("id"), 5).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("e.nn_id"), col("e.score")).as[(Long, Double)].collect().toSeq
+    // expected: score desc, id asc; 2.25 tie -> ids 13 then 17; the bit
+    // bijection orders +0.0 just above -0.0 (same as java.lang.Double.compare)
+    assert(df === Seq((13L, 2.25), (17L, 2.25), (15L, 1e-300), (12L, 0.0), (11L, -0.0)))
+    assert(df.map(_._2).zip(df.map(_._2).drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("multiprobe LSH topK: planted duplicate is ALWAYS rank 1; plan is equi-join") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
