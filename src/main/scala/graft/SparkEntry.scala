@@ -93,9 +93,16 @@ object SparkEntry {
       ents(s, dir).select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
         col("lonm"), col("latm"), col("lang"))),
 
+    // byte-identical text per url for pages with a polygon-contained entity.
+    // Shape: the heavy text column never enters the join or a shuffle — the
+    // PIP side carries only (url, coords), and pages are LEFT SEMI joined
+    // against the matched urls (url unique per page), so text bytes move
+    // zero times (broadcast semi) or once (shuffle semi at scale) instead
+    // of once per entity-polygon match + a full-text DISTINCT exchange
     "q11_text_passthrough" -> ((s, dir) =>
-      PipJoin.broadcastJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.CellLevel)
-        .select("url", "text").distinct()),
+      sources.WebPagesSynth.pages(s, dir).select("url", "text")
+        .join(PipJoin.broadcastJoin(s, ents(s, dir), Layers.polygons(s, dir),
+          Pipeline.CellLevel).select("url"), Seq("url"), "left_semi")),
 
     "q12_cell_assign" -> ((s, dir) =>
       ents(s, dir).select(col("url"), col("ent_idx").cast("long").as("ent_idx"),

@@ -17,9 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanGuardSpec extends AnyFunSuite with SparkTest {
 
-  // q29 is the one remaining declared brute-force baseline (float cosine);
-  // q27 now runs the blocked equi-join shape like q33
-  private val bruteForceBaselines = Set("q29_cosine_topk")
+  // no exemptions remain: q27/q29 both run the blocked equi-join +
+  // bounded-heap shape; the BNLJ brute forces live only inside specs
+  private val bruteForceBaselines = Set.empty[String]
 
   private def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
     df.queryExecution.sparkPlan
@@ -109,5 +109,24 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
           s"$name plan contains ${bad.mkString(", ")} — all-pairs candidate generation")
       }
     }
+  }
+
+  test("q11 passthrough: the text column never enters an exchange") {
+    // the north rule's byte-identical text must ride for free — matching is
+    // done on (url, coords) and pages are LEFT SEMI joined on url, so no
+    // shuffle (and no broadcast) ever carries text bytes
+    val df = SparkEntry.queries("q11_text_passthrough")(spark, Sf)
+    val leaks = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.output.exists(_.name == "text") => s"shuffle(${e.output.map(_.name).mkString(",")})"
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+          if e.output.exists(_.name == "text") => s"broadcast(${e.output.map(_.name).mkString(",")})"
+    }
+    assert(leaks.isEmpty, s"text bytes cross the wire: ${leaks.mkString("; ")}")
+    val semi = physical(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j.nodeName
+    }
+    assert(semi.nonEmpty, "q11 must be a LEFT SEMI join on url")
   }
 }
