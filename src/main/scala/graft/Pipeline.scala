@@ -30,6 +30,14 @@ object Pipeline {
   def entities(spark: SparkSession, sfDir: String): DataFrame =
     EntityExtract.entities(WebPagesSynth.pages(spark, sfDir))
 
+  /** Entities from a uniform DOCUMENT sample — the cheap input for skew
+    * sketches. Page-level (cluster) sampling preserves hot cells: a cell is
+    * hot because many pages mention it, so a 5% page sample sees ~5% of a
+    * hot cell's entities. Sampling before synthesis/extraction makes the
+    * sketch cost `fraction` of a scan instead of a second full pass. */
+  def entitiesSampled(spark: SparkSession, sfDir: String, fraction: Double): DataFrame =
+    EntityExtract.entities(WebPagesSynth.pages(spark, sfDir, Some(fraction)))
+
   /** Entity-level enrichment: ONE output row per entity carrying poly_ids
     * and kNN POIs as ARRAYS plus the tile — no row explosion (a 2000-way
     * urban polygon overlap would otherwise multiply the fact side), no

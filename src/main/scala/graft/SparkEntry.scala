@@ -113,9 +113,16 @@ object SparkEntry {
       PipJoin.broadcastJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.CellLevel)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
 
-    "q14_pip_join_salted" -> ((s, dir) =>
-      PipJoin.shuffleJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.ShuffleCellLevel)
-        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))),
+    // skew sketch from a 5% DOCUMENT sample (extraction runs on 5% of
+    // pages, not a second full pass); salting is correctness-neutral, so
+    // the output stays hash-identical to q13 regardless of the hot set
+    "q14_pip_join_salted" -> ((s, dir) => {
+      val sampled = Pipeline.entitiesSampled(s, dir, 0.05).withColumn("cell",
+        PipJoin.pointCellKey(col("lon"), col("lat"), Pipeline.ShuffleCellLevel))
+      PipJoin.shuffleJoin(s, ents(s, dir), Layers.polygons(s, dir), Pipeline.ShuffleCellLevel,
+          hotCells = Some(PipJoin.sketchHotCells(sampled)))
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))
+    }),
 
     // distance join (ST_DWithin / range-join class): cell-ring candidates,
     // each pair generated exactly once, exact euclidean refine. d=1.03 is

@@ -66,22 +66,13 @@ object PipJoin {
     val pts = points.withColumn("cell",
       pointCellKey(col("lon"), col("lat"), level))
 
-    // ONE aggregation pass over a 5% SAMPLE for the skew sketch: per-cell
-    // counts partial-aggregate to <= 4^level rows, and the hot set uses a
-    // RELATIVE threshold (4x the mean), which is invariant under uniform
-    // sampling — hot cells are by definition huge, so a sample finds them.
-    // This is the 100 TB shape: materializing (localCheckpoint) the full
-    // fact side just to count cells is a non-starter at scale, and the
-    // only cost of a borderline cell missing the hot set is an unsalted
-    // (still correct) cell. Output never depends on the hot set.
-    val hot = hotCells.getOrElse {
-      val counts = pts.sample(0.05, 42).groupBy("cell").count().collect()
-      if (counts.isEmpty) Seq.empty[Long]
-      else {
-        val avg = counts.map(_.getLong(1)).sum.toDouble / counts.length
-        counts.filter(_.getLong(1) > 4 * avg).map(_.getLong(0)).toSeq
-      }
-    }
+    // Default skew sketch: a 5% row sample of the point side. NOTE: when
+    // the point side is itself a derivation (e.g. entity extraction over
+    // pages), sample the SOURCE and pass `hotCells =
+    // Some(sketchHotCells(...))` instead — a post-derivation sample still
+    // pays the full derivation scan, so the default here costs a second
+    // full pass that a source-level sample reduces to `fraction` of one.
+    val hot = hotCells.getOrElse(sketchHotCells(pts.sample(0.05, 42)))
     val hotDf = hot.toDF("hot_cell")
 
     // polygon side: replicate hot-cell cover rows saltFactor ways
@@ -120,6 +111,23 @@ object PipJoin {
     val cy = greatest(lit(0L), least(lit((1L << level) - 1),
       floor((lat + 90.0) / 180.0 * n).cast("long")))
     shiftleft(cx, 32) + cy
+  }
+
+  /** Relative-threshold hot-cell sketch over an (already sampled) point set
+    * carrying a `cell` column: per-cell counts partial-aggregate to
+    * <= 4^level rows, and the hot set uses a RELATIVE threshold (4x the
+    * mean), which is invariant under uniform sampling — hot cells are by
+    * definition huge, so a sample finds them. Materializing the full fact
+    * side just to count cells is a non-starter at 100 TB, and the only cost
+    * of a borderline cell missing the hot set is an unsalted (still
+    * correct) cell: join OUTPUT never depends on the hot set. */
+  def sketchHotCells(sampledPts: DataFrame): Seq[Long] = {
+    val counts = sampledPts.groupBy("cell").count().collect()
+    if (counts.isEmpty) Seq.empty[Long]
+    else {
+      val avg = counts.map(_.getLong(1)).sum.toDouble / counts.length
+      counts.filter(_.getLong(1) > 4 * avg).map(_.getLong(0)).toSeq
+    }
   }
 
   /** Frequency sketch: cells whose point count exceeds `threshold`. Small

@@ -69,8 +69,15 @@ object WebPagesSynth {
   /** The input_hint table: (url, warc_ts, html binary, text, lang).
     * `text` carries the GEO markers; `html` wraps text; both derived from
     * the read-only documents parquet. */
-  def pages(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    pages(spark, sfDir, sample = None)
+
+  /** Same table over a uniform document sample (seed fixed): sampling
+    * BEFORE page synthesis means a sketch pass over 5% of pages costs 5%
+    * of a scan, not a second full synthesis+extraction pass. */
+  def pages(spark: SparkSession, sfDir: String, sample: Option[Double]): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = sample.map(f => base.sample(f, 42)).getOrElse(base)
     val d = col("doc_id")
     val markers = concat_ws(" ",
       transform(sequence(lit(0), nEnts(d) - 1), k =>
