@@ -73,7 +73,81 @@ case class TrigramTopN(child: Expression, topN: Int)
   override def prettyName: String = "trigram_topn"
 }
 
+/** Cavnar–Trenkle out-of-place scoring against a STATIC profile table,
+  * baked into the expression: input is the per-doc
+  * `array<struct<g,r>>` rank profile (from [[TrigramTopN]]), output is
+  * `struct<pred_lang: string, dist: long>` — the argmin language (tie:
+  * lang asc) under dist = TopN² − Σ_match (TopN − |r − pr|).
+  *
+  * The profile table is a compile-time constant (a few langs × TopN
+  * grams), so scoring is a per-row lookup loop — no broadcast join, no
+  * (doc, lang) credit shuffle, no final argmin exchange. The previous
+  * distributed form moved ≤ TopN rows per document through THREE
+  * exchanges just to compare them against 160 constants; at 10^12
+  * documents that is three full shuffles of a derivation the row already
+  * contains. Output is bit-identical (same integer math, same tie-break),
+  * so the DuckDB oracle SQL is unchanged.
+  */
+case class CtBestLang(child: Expression, profiles: Seq[(String, String, Int)], topN: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred_lang", StringType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  // langs sorted asc so index order = tie-break order
+  @transient private lazy val langs: Array[UTF8String] =
+    profiles.map(_._1).distinct.sorted.map(UTF8String.fromString).toArray
+  @transient private lazy val langIdx: Map[String, Int] =
+    profiles.map(_._1).distinct.sorted.zipWithIndex.toMap
+  // gram -> packed (langIdx, profileRank) entries
+  @transient private lazy val gramEntries: java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]]()
+    profiles.groupBy(_._2).foreach { case (g, rows) =>
+      m.put(UTF8String.fromString(g),
+        rows.map { case (l, _, pr) => (langIdx(l).toLong << 32) | pr.toLong }.toArray)
+    }
+    m
+  }
+
+  override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val credit = new Array[Long](langs.length)
+    var i = 0
+    while (i < arr.numElements()) {
+      val e = arr.getStruct(i, 2)
+      val hits = gramEntries.get(e.getUTF8String(0))
+      if (hits != null) {
+        val r = e.getInt(1).toLong
+        var j = 0
+        while (j < hits.length) {
+          val li = (hits(j) >>> 32).toInt
+          val pr = (hits(j) & 0xffffffffL)
+          credit(li) += topN.toLong - math.abs(r - pr)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val maxDist = topN.toLong * topN
+    var best = 0
+    var k = 1
+    while (k < langs.length) {
+      // dist = maxDist - credit; argmin dist = argmax credit, tie lang asc
+      if (credit(k) > credit(best)) best = k
+      k += 1
+    }
+    InternalRow(langs(best), maxDist - credit(best))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ct_best_lang"
+}
+
 object NgramExpressions {
+  def ctBestLang(topn: Column, profiles: Seq[(String, String, Int)], topN: Int): Column =
+    ExpressionUtils.column(CtBestLang(ExpressionUtils.expression(topn), profiles, topN))
+
   def trigramTopN(text: Column, topN: Int): Column =
     ExpressionUtils.column(TrigramTopN(ExpressionUtils.expression(text), topN))
 }

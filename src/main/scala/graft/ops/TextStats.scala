@@ -106,23 +106,19 @@ object TextStats {
     * back to TopN rows per doc. Identical output (same codepoint
     * substrings, same (count desc, gram binary asc) rank order); the
     * DuckDB oracle SQL keeps the declarative window form. */
-  def langIdNgram(docs: DataFrame): DataFrame = {
-    val dtop = docs
-      .select(col("doc_id"),
-        explode(NgramExpressions.trigramTopN(col("text"), TopN)).as("gr"))
-      .select(col("doc_id"), col("gr.g").as("g"), col("gr.r").as("r"))
-    val prof = docs.sparkSession.createDataFrame(Profiles).toDF("lang", "g", "pr")
-    val credit = dtop.join(broadcast(prof), "g")
-      .groupBy("doc_id", "lang")
-      .agg(sum(lit(TopN.toLong) - abs(col("r") - col("pr"))).as("cr"))
-    val base = docs.select(col("doc_id"),
-      explode(array(LangSeeds.map(s => lit(s._1)): _*)).as("lang"))
-    base.join(credit, Seq("doc_id", "lang"), "left")
-      .withColumn("dist", lit((TopN * TopN).toLong) - coalesce(col("cr"), lit(0L)))
-      .groupBy("doc_id")
-      .agg(min(struct(col("dist"), col("lang"))).as("m"))
-      .select(col("doc_id"), col("m.lang").as("pred_lang"), col("m.dist").cast("long").as("dist"))
-  }
+  def langIdNgram(docs: DataFrame): DataFrame =
+    // fully row-local: the per-doc rank profile is computed inside the row
+    // (TrigramTopN) and scored against the static profile table inside the
+    // row (CtBestLang) — ZERO exchanges; the previous broadcast-join +
+    // (doc,lang) aggregate + argmin form shuffled the corpus three times
+    // to compare each doc against 160 constants. coalesce('') keeps the
+    // no-text row semantics of the old outer form: empty profile => every
+    // lang at max distance => first lang asc.
+    docs.select(col("doc_id"),
+      NgramExpressions.ctBestLang(
+        NgramExpressions.trigramTopN(coalesce(col("text"), lit("")), TopN),
+        Profiles, TopN).as("m"))
+      .select(col("doc_id"), col("m.pred_lang").as("pred_lang"), col("m.dist").as("dist"))
 
   def langIdNgramSql: String = {
     def esc(s: String) = s.replace("'", "''")
