@@ -81,12 +81,76 @@ case class WayWkbExpr(left: Expression, right: Expression)
   override def prettyName: String = "way_wkb"
 }
 
+/** Compact broadcastable node-coordinate map: ids sorted, coords in
+  * parallel arrays, binary-search probe — half the heap of a boxed
+  * HashMap and no per-probe allocation. */
+final class NodeCoordMap(val ids: Array[Long], val lons: Array[Double],
+                         val lats: Array[Double]) extends Serializable {
+  /** index of node_id, or -1 when absent (= the join-miss drop). */
+  def indexOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+}
+
+object NodeCoordMap {
+  def fromRows(rows: Array[org.apache.spark.sql.Row]): NodeCoordMap = {
+    val sorted = rows.sortBy(_.getLong(0))
+    new NodeCoordMap(sorted.map(_.getLong(0)),
+      sorted.map(_.getDouble(1)), sorted.map(_.getDouble(2)))
+  }
+}
+
+/** Whole way assembly inside the row: probe each raw ref against the
+  * broadcast node map IN ORDER (misses skipped — the inner-join drop),
+  * then build the WKB with the same rules as [[WayWkbExpr]]. Output
+  * struct(closed, npts, geom); npts = 0 marks a way with no resolved ref,
+  * which the join form drops entirely (caller filters). This replaces
+  * posexplode(refs) -> join -> groupBy/sort_array for the broadcast case:
+  * the explode+regroup shuffled every vertex (plus the way's tags,
+  * duplicated per ref) only to reassemble an order the refs array already
+  * had. The declarative join path remains for node sets too big to
+  * broadcast. */
+case class WayAssembleExpr(child: Expression, bc: Broadcast[NodeCoordMap])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("closed", BooleanType, nullable = false),
+    StructField("npts", IntegerType, nullable = false),
+    StructField("geom", BinaryType, nullable = true)))
+  override def nullSafeEval(refsAny: Any): Any = {
+    val refs = refsAny.asInstanceOf[ArrayData]
+    val n = refs.numElements()
+    val m = bc.value
+    val coords = new scala.collection.mutable.ArrayBuffer[(Double, Double)](n)
+    var i = 0
+    while (i < n) {
+      val idx = m.indexOf(refs.getLong(i))
+      if (idx >= 0) coords += ((m.lons(idx), m.lats(idx)))
+      i += 1
+    }
+    val closed = n > 0 && refs.getLong(0) == refs.getLong(n - 1)
+    val k = coords.length
+    val geom: Array[Byte] =
+      if (closed) {
+        val ringLen = if (k > 0 && coords(0) != coords(k - 1)) k + 1 else k
+        if (ringLen >= 4) WkbCodec.write(WkbCodec.polygon(coords.toSeq)) else null
+      } else {
+        if (k >= 2) WkbCodec.write(WkbCodec.lineString(coords.toSeq)) else null
+      }
+    org.apache.spark.sql.catalyst.InternalRow(closed, k, geom)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "osm_way_assemble"
+}
+
 object GeoExpressions {
 
   /** (closed, pts) -> WKB geometry for an assembled OSM way. */
   def wayWkb(closed: Column, pts: Column): Column =
     ExpressionUtils.column(
       WayWkbExpr(ExpressionUtils.expression(closed), ExpressionUtils.expression(pts)))
+
+  /** refs -> struct(closed, npts, geom) via the broadcast node map. */
+  def wayAssemble(refs: Column, bc: Broadcast[NodeCoordMap]): Column =
+    ExpressionUtils.column(WayAssembleExpr(ExpressionUtils.expression(refs), bc))
 
   /** (lon, lat) -> array<long> of containing polygon ids; polygon layer
     * collected + broadcast once. */

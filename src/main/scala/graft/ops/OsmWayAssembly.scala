@@ -28,15 +28,43 @@ import org.apache.spark.sql.functions._
 object OsmWayAssembly {
 
   def assemble(spark: SparkSession, nodes: DataFrame, ways: DataFrame,
-               broadcastNodes: Boolean = true): DataFrame = {
+               broadcastNodes: Boolean = true): DataFrame =
+    if (broadcastNodes) assembleBroadcast(spark, nodes, ways)
+    else assembleShuffle(nodes, ways)
+
+  /** Broadcast path: the node map rides a broadcast (the reference's
+    * all-nodes HashMap) and every way assembles INSIDE its own row — the
+    * refs array already carries the vertex order, so exploding it, joining,
+    * and regrouping (the previous form) shuffled every vertex plus the
+    * way's tags per ref only to rebuild an order the row already had.
+    * Zero exchanges; output identical to [[assembleShuffle]] (parity
+    * spec-tested): ways with no resolved ref are dropped, matching the
+    * inner join. */
+  private def assembleBroadcast(spark: SparkSession, nodes: DataFrame,
+                                ways: DataFrame): DataFrame = {
+    val rows = nodes.select(col("node_id"), col("lon"), col("lat")).collect()
+    val bc = spark.sparkContext.broadcast(NodeCoordMap.fromRows(rows))
+    ways.select(col("way_id"), col("tags"),
+        GeoExpressions.wayAssemble(col("refs"), bc).as("a"))
+      .filter(col("a.npts") > 0)
+      .select(
+        col("way_id"),
+        col("tags"),
+        when(col("a.closed"), "Polygon").otherwise("LineString").as("kind"),
+        col("a.npts").as("npts"),
+        col("a.geom").as("geom"))
+  }
+
+  /** Shuffle path for node sets too big to broadcast: the declarative
+    * explode -> equi-join -> regroup form (sort-merge/shuffle-hash under
+    * AQE with skew handling). */
+  private def assembleShuffle(nodes: DataFrame, ways: DataFrame): DataFrame = {
     val refd = ways.select(col("way_id"), col("tags"),
       element_at(col("refs"), 1).as("first_ref"),
       element_at(col("refs"), -1).as("last_ref"),
       posexplode(col("refs")).as(Seq("pos", "ref")))
     val n = nodes.select(col("node_id"), col("lon"), col("lat"))
-    val joined = refd.join(
-      if (broadcastNodes) broadcast(n) else n,
-      refd("ref") === n("node_id"), "inner")
+    val joined = refd.join(n, refd("ref") === n("node_id"), "inner")
     val grouped = joined.groupBy("way_id")
       .agg(
         first(col("tags")).as("tags"),

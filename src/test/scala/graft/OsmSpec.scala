@@ -60,6 +60,25 @@ class OsmSpec extends AnyFunSuite with SparkTest {
     assert(out.toSeq === Seq((20L, "Polygon", 2)))
   }
 
+  test("row-local broadcast assembly == declarative shuffle-join assembly") {
+    import spark.implicits._
+    val nodes = graft.sources.OsmElements.nodes(spark, Sf)
+    val ways = graft.sources.OsmElements.ways(spark, Sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("way_id", "kind", "npts", "geom")
+        .as[(Long, String, Int, Array[Byte])].collect()
+        .map { case (w, k, n, g) => (w, k, n, Option(g).map(_.toSeq)) }.sortBy(_._1).toSeq
+    val broadcastOut = canon(OsmWayAssembly.assemble(spark, nodes, ways, broadcastNodes = true))
+    val shuffleOut = canon(OsmWayAssembly.assemble(spark, nodes, ways, broadcastNodes = false))
+    assert(broadcastOut.nonEmpty)
+    assert(broadcastOut === shuffleOut)
+    // and the broadcast path must be exchange-free
+    val plan = OsmWayAssembly.assemble(spark, nodes, ways).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e.nodeName }
+    assert(exchanges.isEmpty, s"broadcast assembly shuffles: $exchanges")
+  }
+
   test("ways whose refs all miss disappear (inner join), matching the row-set rule") {
     import spark.implicits._
     val nodes = Seq((1L, 0.0, 0.0)).toDF("node_id", "lon", "lat")
