@@ -379,6 +379,33 @@ object Oracles {
       """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank1_is_mirror
         | FROM embeddings WHERE vec_id % 40 = 0""".stripMargin.replace("\n", " "),
 
+    // tile-content clipping. q64: every polygon's per-cell pieces must sum
+    // to its closed-form doubled area in x80 units (diamond area 2r^2 =>
+    // 2*area*80^2 = 25600*r^2, an exact integer on this lattice); n_cells
+    // and q65's (poly, cell) set re-derive from the L1 diamond-rect
+    // intersection test dist_L1(center, cell) < r. True lattice values of
+    // |dist - r| are either 0 (zero-area touch, excluded on both sides) or
+    // >= 0.0125, so the float predicate uses the half-gap margin 0.005 to
+    // classify exactly. Level 6 cells: 5.625 x 2.8125 degrees.
+    "q64_tile_clip" ->
+      s"""WITH p AS (SELECT p_partkey AS poly_id, ${sources.Layers.polyCxSql} AS cx,
+         |   ${sources.Layers.polyCySql} AS cy, ${sources.Layers.polyRSql} AS r FROM part),
+         | c AS (SELECT poly_id, r FROM p,
+         |   (SELECT unnest(range(64)) AS ix) x, (SELECT unnest(range(64)) AS iy) y
+         |  WHERE greatest(0, ix*5.625 - 180 - cx, cx - (ix*5.625 - 180 + 5.625))
+         |      + greatest(0, iy*2.8125 - 90 - cy, cy - (iy*2.8125 - 90 + 2.8125)) < r - 0.005)
+         | SELECT poly_id, CAST(count(*) AS BIGINT) AS n_cells,
+         |   CAST(round(25600 * max(r) * max(r)) AS BIGINT) AS area2x
+         | FROM c GROUP BY poly_id""".stripMargin.replace("\n", " "),
+
+    "q65_tile_cells" ->
+      s"""WITH p AS (SELECT p_partkey AS poly_id, ${sources.Layers.polyCxSql} AS cx,
+         |   ${sources.Layers.polyCySql} AS cy, ${sources.Layers.polyRSql} AS r FROM part)
+         | SELECT poly_id, CAST(ix AS BIGINT) AS cell_x, CAST(iy AS BIGINT) AS cell_y FROM p,
+         |   (SELECT unnest(range(64)) AS ix) x, (SELECT unnest(range(64)) AS iy) y
+         |  WHERE greatest(0, ix*5.625 - 180 - cx, cx - (ix*5.625 - 180 + 5.625))
+         |      + greatest(0, iy*2.8125 - 90 - cy, cy - (iy*2.8125 - 90 + 2.8125)) < r - 0.005""".stripMargin.replace("\n", " "),
+
     // prod-MinHash exact-duplicate containment: every planted mirror pair
     // must be found by the capped xxhash64 path (identical signatures share
     // every band bucket; the heavy-hitter cap only drops degenerate buckets)

@@ -19,6 +19,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Pipeline.run(spark, "/root/testdata/sf0.001")
 
+  /** Cell level for tile-content clipping (q64/q65): the deepest
+    * equirectangular level whose cell bounds stay on the x80 integer
+    * lattice in BOTH axes (180*80/2^L integer needs L <= 6), which is what
+    * keeps the Sutherland-Hodgman clip exact — see [[ops.TileClipExpr]]. */
+  val TileClipLevel = 6
+
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -353,6 +359,25 @@ object SparkEntry {
           when(col("nn_id") === col("query_id") - 1000000, 1L).otherwise(0L)
             .as("rank1_is_mirror"))
     }),
+    // --- tile CONTENT generation (vector half of raster<->vector) ---
+    // polygons cut into per-cell pieces inside the row (bbox cover + exact
+    // Sutherland-Hodgman on the x80 lattice; zero exchanges). q64 checks
+    // the area-PARTITION invariant: the exact integer areas of a polygon's
+    // pieces must sum to the polygon's closed-form area (any dropped
+    // sliver, double-counted edge, or wrong intersection breaks the sum).
+    "q64_tile_clip" -> ((s, dir) =>
+      sources.Layers.polygons(s, dir)
+        .select(col("poly_id"),
+          ops.TileClip.clipCells(col("geom"), TileClipLevel, Some(80.0)).as("cells"))
+        .select(col("poly_id"), size(col("cells")).cast("long").as("n_cells"),
+          aggregate(col("cells"), lit(0L), (acc, c) => acc + c.getField("area2x"))
+            .as("area2x"))),
+    // per-cell piece rows (the operator's user-facing shape); the oracle
+    // re-derives the exact (poly, cell) set from the closed-form L1
+    // distance diamond-rect intersection test
+    "q65_tile_cells" -> ((s, dir) =>
+      ops.TileClip.clipToCells(sources.Layers.polygons(s, dir), TileClipLevel)
+        .select(col("poly_id"), col("cell_x"), col("cell_y"))),
     // prod-MinHash containment contract: every planted exact-duplicate pair
     // (identical text => identical xxhash64 signature => same bucket in
     // every band) must survive the capped production path — emitted as a

@@ -197,6 +197,31 @@ object SqlFunctions {
     override def prettyName: String = "st_buffer"
   }
 
+  /** st_clip_bbox(geom, x0, y0, x1, y1): polygon clipped to an axis-aligned
+    * rectangle (Sutherland–Hodgman per ring, [[graft.geom.ClipRect]]) —
+    * the scalar form of tile-content generation. NULL when the
+    * intersection has no area. */
+  case class StClipBbox(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+    require(children.size == 5, "st_clip_bbox(geom, x0, y0, x1, y1)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val g = WkbCodec.read(vs(0).asInstanceOf[Array[Byte]])
+      g match {
+        case p: org.locationtech.jts.geom.Polygon =>
+          TileClip.clipPolygon(p, asD(vs(1)), asD(vs(2)), asD(vs(3)), asD(vs(4)))
+            .map(WkbCodec.write).orNull
+        case _ => null
+      }
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+      copy(children = cs)
+    override def prettyName: String = "st_clip_bbox"
+  }
+
   /** Packed ids of all grid cells at `level` intersecting the geometry's
     * ENVELOPE (bbox cover, no exact refine — [[OverlayJoin]]'s candidate
     * generator, where the reporting-cell dedup rule needs the cover to be
@@ -241,6 +266,7 @@ object SqlFunctions {
     "st_within" -> (es => StBinaryGeomPred(es(0), es(1), "st_within",
       (a, b) => a.within(b), BooleanType)),
     "st_buffer" -> (es => StBuffer(es(0), es(1))),
+    "st_clip_bbox" -> (es => StClipBbox(es)),
     "st_cell_x" -> (es => cellX(es(0), intArg(es(1), "level"))),
     "st_cell_y" -> (es => cellY(es(0), intArg(es(1), "level"))),
     "st_cell_id" -> (es => cellId(es(0), es(1), intArg(es(2), "level"))),
