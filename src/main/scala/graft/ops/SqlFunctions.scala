@@ -197,6 +197,49 @@ object SqlFunctions {
     override def prettyName: String = "st_buffer"
   }
 
+  /** st_simplify(geom, tol): Ramer–Douglas–Peucker generalization
+    * ([[graft.geom.Simplify]]) — the per-zoom simplification step of a
+    * vector-tile pipeline. LineStrings simplify directly; Polygons
+    * simplify each ring (closure preserved; rings that collapse below 4
+    * points are dropped, a collapsed shell returns NULL); Points pass
+    * through. */
+  case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    private def packed(cs: Array[org.locationtech.jts.geom.Coordinate]): Array[Double] = {
+      val out = new Array[Double](2 * cs.length)
+      var i = 0
+      while (i < cs.length) { out(2 * i) = cs(i).x; out(2 * i + 1) = cs(i).y; i += 1 }
+      out
+    }
+    private def pts(a: Array[Double]): Seq[(Double, Double)] =
+      a.grouped(2).map(p => (p(0), p(1))).toSeq
+    override def nullSafeEval(wkb: Any, tol: Any): Any = {
+      val t = asD(tol)
+      WkbCodec.read(wkb.asInstanceOf[Array[Byte]]) match {
+        case l: org.locationtech.jts.geom.LineString if !l.isInstanceOf[org.locationtech.jts.geom.LinearRing] =>
+          WkbCodec.write(WkbCodec.lineString(pts(graft.geom.Simplify.rdp(packed(l.getCoordinates), t))))
+        case p: org.locationtech.jts.geom.Polygon =>
+          def ring(r: org.locationtech.jts.geom.LineString): Option[Seq[(Double, Double)]] = {
+            val s = graft.geom.Simplify.rdp(packed(r.getCoordinates), t)
+            if (s.length / 2 >= 4) Some(pts(s).dropRight(1)) else None // drop closing dup for the builder
+          }
+          ring(p.getExteriorRing) match {
+            case None => null
+            case Some(shell) =>
+              val holes = (0 until p.getNumInteriorRing)
+                .flatMap(i => ring(p.getInteriorRingN(i)))
+              WkbCodec.write(WkbCodec.polygon(shell, holes))
+          }
+        case g => WkbCodec.write(g)
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_simplify"
+  }
+
   /** st_clip_bbox(geom, x0, y0, x1, y1): polygon clipped to an axis-aligned
     * rectangle (Sutherland–Hodgman per ring, [[graft.geom.ClipRect]]) —
     * the scalar form of tile-content generation. NULL when the
@@ -267,6 +310,7 @@ object SqlFunctions {
       (a, b) => a.within(b), BooleanType)),
     "st_buffer" -> (es => StBuffer(es(0), es(1))),
     "st_clip_bbox" -> (es => StClipBbox(es)),
+    "st_simplify" -> (es => StSimplify(es(0), es(1))),
     "st_cell_x" -> (es => cellX(es(0), intArg(es(1), "level"))),
     "st_cell_y" -> (es => cellY(es(0), intArg(es(1), "level"))),
     "st_cell_id" -> (es => cellId(es(0), es(1), intArg(es(2), "level"))),

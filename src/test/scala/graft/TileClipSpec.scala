@@ -83,6 +83,41 @@ class TileClipSpec extends AnyFunSuite with SparkTest {
     assert(exchanges.isEmpty, s"tile clip shuffles: $exchanges")
   }
 
+  test("st_simplify: spike removal, identity at tol 0, deviation bound, ring closure") {
+    import spark.implicits._
+    import graft.geom.Simplify
+    graft.ops.GraftFunctions.register(spark)
+    // goldens: near-collinear middles vanish; a spike splits the chord and
+    // is kept
+    val flat = Array[Double](0, 0, 1, 0.01, 2, -0.01, 3, 0.005, 4, 0)
+    assert(Simplify.rdp(flat, 0.1).grouped(2).map(p => (p(0), p(1))).toSeq ===
+      Seq((0.0, 0.0), (4.0, 0.0)))
+    val line = Array[Double](0, 0, 2, 5, 4, 0)
+    val s = Simplify.rdp(line, 0.1)
+    assert(s.grouped(2).map(p => (p(0), p(1))).toSeq ===
+      Seq((0.0, 0.0), (2.0, 5.0), (4.0, 0.0)))
+    // tol 0: identity
+    assert(Simplify.rdp(line, 0.0).toSeq === line.toSeq)
+    // property: every dropped vertex is within tol of the simplified line
+    val rnd = new scala.util.Random(7)
+    val wiggly = Array.tabulate(60)(i =>
+      if (i % 2 == 0) i / 2.0 else rnd.nextDouble() * 2 - 1)
+    val simp = Simplify.rdp(wiggly, 0.4)
+    val simpLine = WkbCodec.lineString(simp.grouped(2).map(p => (p(0), p(1))).toSeq)
+    wiggly.grouped(2).foreach { p =>
+      assert(simpLine.distance(WkbCodec.point(p(0), p(1))) <= 0.4 + 1e-12)
+    }
+    // SQL surface: polygon rings stay closed and valid; a diamond with a
+    // redundant mid-edge vertex loses it
+    val noisy = WkbCodec.write(WkbCodec.polygon(
+      Seq((2.0, 0.0), (1.0, 1.0), (0.0, 2.0), (-2.0, 0.0), (0.0, -2.0))))
+    val got = Seq(Tuple1(noisy)).toDF("geom")
+      .selectExpr("st_simplify(geom, 0.1) AS s").as[Array[Byte]].head()
+    val g = WkbCodec.read(got)
+    assert(g.isValid && g.getGeometryType === "Polygon")
+    assert(g.getCoordinates.length === 5) // 4 distinct + closing dup
+  }
+
   test("st_clip_bbox: topologically equal to the JTS intersection") {
     import spark.implicits._
     graft.ops.GraftFunctions.register(spark)
