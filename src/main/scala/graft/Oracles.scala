@@ -324,6 +324,7 @@ object Oracles {
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q26_fingerprint" -> TextStats.fingerprintsSql,
     "q35_token_count" -> TextStats.bpeTokensSql,
+    "q66_repetition" -> TextStats.repetitionStatsSql,
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q38_contamination" -> TextStats.contaminationSql(),
     "q39_pii_redact" -> TextStats.redactPiiSql,

@@ -246,6 +246,10 @@ object SparkEntry {
     "q39_pii_redact" -> ((s, dir) => TextStats.redactPii(
       TextStats.piiCorpus(t(s, dir, "documents")))),
     "q35_token_count" -> ((s, dir) => TextStats.bpeTokens(t(s, dir, "documents"))),
+    // Gopher-style repetition signals (top word 1-/2-gram count + char
+    // length as integers; the published char-fraction filter is a
+    // downstream division)
+    "q66_repetition" -> ((s, dir) => TextStats.repetitionStats(t(s, dir, "documents"))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
 
     // Z-order clustered table + manifest/parquet data-skipping bbox read

@@ -144,10 +144,60 @@ case class CtBestLang(child: Expression, profiles: Seq[(String, String, Int)], t
   override def prettyName: String = "ct_best_lang"
 }
 
+/** One-pass word-repetition profile (the Gopher/Dolma-style "fraction of
+  * characters in the most frequent word n-gram" quality signals, n = 1, 2):
+  * `struct<n_words, top1_cnt, top1_len, top2_cnt, top2_len>` — counts and
+  * CHAR lengths as integers so the downstream fraction is the caller's
+  * division and the whole row is DuckDB-hash-checkable. Split is by the
+  * single 0x20 byte (UTF-8-safe: the space byte never occurs inside a
+  * multibyte sequence), empties kept — same semantics as DuckDB
+  * `string_split(text, ' ')`. Ties: (count desc, gram binary asc). Docs
+  * with < 2 words report top2 = (0, 0). Row-local; zero exchanges.
+  */
+case class TopWordNgrams(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top1_cnt", LongType, nullable = false),
+    StructField("top1_len", LongType, nullable = false),
+    StructField("top2_cnt", LongType, nullable = false),
+    StructField("top2_len", LongType, nullable = false)))
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val words = s.split(UTF8String.fromString(" "), -1)
+    val n = words.length
+    def top(grams: Iterator[UTF8String]): (Long, Long) = {
+      val counts = new java.util.HashMap[UTF8String, Integer]()
+      grams.foreach(g => counts.merge(g, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue)))
+      if (counts.isEmpty) (0L, 0L)
+      else {
+        var bestG: UTF8String = null
+        var bestC = 0
+        counts.forEach { (g, c) =>
+          if (c > bestC || (c == bestC && g.compareTo(bestG) < 0)) { bestG = g; bestC = c }
+        }
+        (bestC.toLong, bestG.numChars().toLong)
+      }
+    }
+    val (c1, l1) = top(words.iterator)
+    val (c2, l2) = top((0 until n - 1).iterator.map(i =>
+      UTF8String.concat(words(i), UTF8String.fromString(" "), words(i + 1))))
+    InternalRow(n.toLong, c1, l1, c2, l2)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "top_word_ngrams"
+}
+
 object NgramExpressions {
   def ctBestLang(topn: Column, profiles: Seq[(String, String, Int)], topN: Int): Column =
     ExpressionUtils.column(CtBestLang(ExpressionUtils.expression(topn), profiles, topN))
 
   def trigramTopN(text: Column, topN: Int): Column =
     ExpressionUtils.column(TrigramTopN(ExpressionUtils.expression(text), topN))
+
+  def topWordNgrams(text: Column): Column =
+    ExpressionUtils.column(TopWordNgrams(ExpressionUtils.expression(text)))
 }

@@ -141,6 +141,39 @@ object TextStats {
        |   FROM scored) t WHERE rn = 1""".stripMargin.replace("\n", " ")
   }
 
+  /** Gopher/Dolma-style repetition signals: per doc, the count and char
+    * length of the most frequent word 1-gram and 2-gram plus the word
+    * count — all integers, so "fraction of characters in the top n-gram"
+    * (the published filter threshold) is a downstream division and the
+    * whole table hash-checks against DuckDB. One native pass per row,
+    * zero exchanges. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      NgramExpressions.topWordNgrams(coalesce(col("text"), lit(""))).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.top1_cnt").as("top1_cnt"), col("r.top1_len").as("top1_len"),
+        col("r.top2_cnt").as("top2_cnt"), col("r.top2_len").as("top2_len"))
+
+  val repetitionStatsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      | g1 AS (SELECT doc_id, unnest(ws) AS g FROM w),
+      | g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+      | t1 AS (SELECT doc_id, g, count(*) AS c,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+      |   FROM g1 GROUP BY 1, 2),
+      | t2 AS (SELECT doc_id, g, count(*) AS c,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+      |   FROM g2 GROUP BY 1, 2)
+      | SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+      |   CAST(coalesce(t1.c, 0) AS BIGINT) AS top1_cnt,
+      |   CAST(coalesce(length(t1.g), 0) AS BIGINT) AS top1_len,
+      |   CAST(coalesce(t2.c, 0) AS BIGINT) AS top2_cnt,
+      |   CAST(coalesce(length(t2.g), 0) AS BIGINT) AS top2_len
+      | FROM w LEFT JOIN t1 ON t1.doc_id = w.doc_id AND t1.rn = 1
+      |        LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1"""
+      .stripMargin.replace("\n", " ")
+
   /** BPE-ish regex token counting: the pre-tokenizer split every byte-pair
     * tokenizer starts from — letter runs | digit runs | single non-space
     * symbol. Pure regexp column plan (codegen); the class-only patterns

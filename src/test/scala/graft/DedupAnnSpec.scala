@@ -408,6 +408,26 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(short === ((1L, "de", (TextStats.TopN * TextStats.TopN).toLong)))
   }
 
+  test("repetition stats: counts, tie-breaks, char lengths, degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),          // top1: a x3; top2: "a b" x2 (beats "b a" x2 by gram asc)
+      (2L, "xyz"),                // single word: top2 = (0, 0)
+      (3L, ""),                   // empty text: one empty word
+      (4L, "aa bb aa bb cc")      // top1 tie a2: "aa" x2 beats "bb" x2; top2 "aa bb" x2
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 5L, 3L, 1L, 2L, 3L)))
+    assert(out(1) === ((2L, 1L, 1L, 3L, 0L, 0L)))
+    assert(out(2) === ((3L, 1L, 1L, 0L, 0L, 0L)))
+    assert(out(3) === ((4L, 5L, 2L, 2L, 2L, 5L)))
+    // plan: row-local, zero exchanges
+    val plan = TextStats.repetitionStats(docs).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e.nodeName }
+    assert(plan.isEmpty)
+  }
+
   test("contamination: shared probe shingle flags the doc, clean doc passes") {
     import spark.implicits._
     val d = Seq(
