@@ -325,6 +325,10 @@ object Oracles {
     "q26_fingerprint" -> TextStats.fingerprintsSql,
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q66_repetition" -> TextStats.repetitionStatsSql,
+    "q67_url_dedup" ->
+      s"""SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls FROM (
+         | ${graft.ops.UrlOps.canonicalizePipelineSql(graft.ops.UrlOps.urlVariantsSql)}
+         |) GROUP BY 1""".stripMargin.replace("\n", " "),
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q38_contamination" -> TextStats.contaminationSql(),
     "q39_pii_redact" -> TextStats.redactPiiSql,

@@ -250,6 +250,10 @@ object SparkEntry {
     // length as integers; the published char-fraction filter is a
     // downstream division)
     "q66_repetition" -> ((s, dir) => TextStats.repetitionStats(t(s, dir, "documents"))),
+    // URL-level dedup: canonicalize (fragment/tracking-param/case/slash
+    // rules) row-locally, group on the canonical key; planted variant
+    // spellings (docs % 5 == 0) must collapse to n_urls = 4
+    "q67_url_dedup" -> ((s, dir) => ops.UrlOps.urlDedup(ops.UrlOps.urlVariants(s, dir))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
 
     // Z-order clustered table + manifest/parquet data-skipping bbox read

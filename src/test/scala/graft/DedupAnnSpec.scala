@@ -428,6 +428,24 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(plan.isEmpty)
   }
 
+  test("url canonicalization: fragment, tracking params, case, trailing slash") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://EX.com/A/b/?utm_source=x&id=2&gclid=z#frag", // -> keep id=2, lower host only
+      "HTTPS://ex.COM/A/b",                                  // case: scheme+host lowered, path kept
+      "https://ex.com/A/b///",                               // all trailing slashes stripped
+      "https://ex.com",                                      // bare authority unchanged
+      "https://ex.com/?utm_source=x"                         // params all dropped, root slash stripped
+    ).toDF("url")
+    val got = urls.select(ops.UrlOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(got.toSeq === Seq(
+      "https://ex.com/A/b?id=2",
+      "https://ex.com/A/b",
+      "https://ex.com/A/b",
+      "https://ex.com",
+      "https://ex.com"))
+  }
+
   test("contamination: shared probe shingle flags the doc, clean doc passes") {
     import spark.implicits._
     val d = Seq(
