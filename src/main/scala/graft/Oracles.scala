@@ -325,6 +325,11 @@ object Oracles {
     "q26_fingerprint" -> TextStats.fingerprintsSql,
     "q35_token_count" -> TextStats.bpeTokensSql,
     "q66_repetition" -> TextStats.repetitionStatsSql,
+    "q68_html_extract" ->
+      s"""SELECT ${sources.WebPagesSynth.urlSql} AS url,
+         | ${sources.WebPagesSynth.pageTextSql} AS extracted_text,
+         | CAST(1 AS BIGINT) AS matches_text FROM documents""".stripMargin.replace("\n", " "),
+
     "q67_url_dedup" ->
       s"""SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls FROM (
          | ${graft.ops.UrlOps.canonicalizePipelineSql(graft.ops.UrlOps.urlVariantsSql)}

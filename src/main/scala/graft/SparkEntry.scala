@@ -254,6 +254,12 @@ object SparkEntry {
     // rules) row-locally, group on the canonical key; planted variant
     // spellings (docs % 5 == 0) must collapse to n_urls = 4
     "q67_url_dedup" -> ((s, dir) => ops.UrlOps.urlDedup(ops.UrlOps.urlVariants(s, dir))),
+    // HTML -> text extraction from the raw binary column; the oracle holds
+    // the closed-form page text, so the hash compare proves the extractor
+    // reproduces `text` byte-for-byte (the north-rule invariant, checked
+    // from the binary side)
+    "q68_html_extract" -> ((s, dir) =>
+      ops.EntityExtract.htmlText(sources.WebPagesSynth.pages(s, dir))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
 
     // Z-order clustered table + manifest/parquet data-skipping bbox read

@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object EntityExtract {
 
+  /** HTML -> text extraction over the raw `html` binary column: decode
+    * UTF-8, take the <body> subtree, strip tags. Pure regex column plan
+    * (codegen). The extraction contract is byte-identity: the result must
+    * EQUAL the table's `text` column exactly — q68 hash-checks the
+    * extracted strings against the oracle's closed-form page text, so any
+    * re-encoding, entity mangling, or off-by-one in the extractor breaks
+    * the hash, which is precisely the north-rule invariant made testable
+    * from the binary side. */
+  def htmlText(pages: DataFrame): DataFrame = {
+    val extracted = regexp_replace(
+      regexp_extract(decode(col("html"), "UTF-8"), "(?s)<body>(.*)</body>", 1),
+      "<[^>]*>", "")
+    pages.select(col("url"), extracted.as("extracted_text"),
+      when(extracted === col("text"), 1L).otherwise(0L).as("matches_text"))
+  }
+
   /** pages(url, warc_ts, html, text, lang) ->
     * (url, ent_idx int, lonm, latm long, lon, lat double, text, lang).
     * Marker order in text defines ent_idx. */
