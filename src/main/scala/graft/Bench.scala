@@ -196,7 +196,11 @@ object Bench {
       val qs1 = r1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total1 = r1.map(_._2).filter(_ >= 0).sum
       // Contract line, printed NOW: a later timeout loses only the
-      // enrichment phases, never the per-query numbers.
+      // enrichment phases, never the per-query numbers. A full run prints
+      // a SECOND, identically-shaped "total" line at the end (same keys,
+      // denoised values + pipeline/load extras) — intentional: first-match
+      // and last-match parsers both get a complete, valid bench, and only
+      // a timeout leaves this line as the sole result.
       println(s"""{"metric":"total","value":$total1,"unit":"sec","queries":$qs1,"sf":"$sfDir"}""")
       Console.out.flush()
     }

@@ -81,4 +81,21 @@ object ClipRect {
     }
     s
   }
+
+  /** Copy of `ring` with consecutive duplicate vertices dropped (including
+    * the last->first wraparound) — WKB emission wants minimal rings, and a
+    * clip against an edge through a vertex emits that vertex twice. */
+  def dedupeRing(ring: Array[Double]): Array[Double] = {
+    val n = ring.length / 2
+    val out = new scala.collection.mutable.ArrayBuffer[Double](ring.length)
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      if (ring(2 * i) != ring(2 * j) || ring(2 * i + 1) != ring(2 * j + 1)) {
+        out += ring(2 * i); out += ring(2 * i + 1)
+      }
+      i += 1
+    }
+    out.toArray
+  }
 }

@@ -192,19 +192,27 @@ object Ann {
     val sample: Array[Array[Double]] =
       vecs.orderBy("vec_id").limit(sampleCap).select(col("v"))
         .collect().map(_.getSeq[Double](0).toArray)
+    // fewer sample rows than requested cells (tiny/empty table): train
+    // however many centroids the sample supports instead of indexing past
+    // the array — callers see k <= nlist centroids, which every downstream
+    // consumer (centLit array, nprobe slice) already tolerates
+    val k = math.min(nlist, sample.length)
+    if (k == 0)
+      return spark.emptyDataset[(Long, Seq[Double])].toDF("cid", "c")
+        .withColumn("cc", lit(0.0))
     val dim = sample.head.length
-    var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     val vv = sample.map(v => { var s = 0.0; var i = 0; while (i < dim) { s += v(i) * v(i); i += 1 }; s })
     (0 until iters).foreach { _ =>
       val cc = cents.map(c => { var s = 0.0; var i = 0; while (i < dim) { s += c(i) * c(i); i += 1 }; s })
-      val sums = Array.fill(nlist)(new Array[Double](dim))
-      val counts = new Array[Long](nlist)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       var r = 0
       while (r < sample.length) {
         val v = sample(r)
         var best = 0; var bestD = Double.MaxValue
         var j = 0
-        while (j < nlist) {
+        while (j < k) {
           var dot = 0.0; var i = 0
           while (i < dim) { dot += v(i) * cents(j)(i); i += 1 }
           val d2 = vv(r) - 2.0 * dot + cc(j)
@@ -216,7 +224,7 @@ object Ann {
         counts(best) += 1
         r += 1
       }
-      cents = Array.tabulate(nlist) { j =>
+      cents = Array.tabulate(k) { j =>
         // an emptied cell keeps its previous centroid
         if (counts(j) == 0) cents(j)
         else { val s = sums(j); val c = new Array[Double](dim)
@@ -282,6 +290,11 @@ object Ann {
       .withColumn("vv", VectorExpressions.doubleDot(col("v"), col("v")))
       .localCheckpoint(false)
     val cents = kmeansCentroids(vecs, nlist, iters)
+    // empty vector table -> zero centroids; centLit's array() literal would
+    // be untyped, so short-circuit to the (empty) result frame instead
+    if (cents.isEmpty)
+      return vecs.select(col("vec_id").as("query_id"), lit(1L).as("rank"),
+        col("vec_id").as("nn_id"), lit(0L).as("dot")).limit(0)
     val cands = assignCells(vecs, cents)
       .select(col("vec_id").as("nn_id"), col("q").as("cq"), col("cid"))
     // nprobe nearest cells per query in pure column math: sort the per-row

@@ -212,7 +212,8 @@ object Dedup {
 
   /** Production variant: shingle id = xxhash64(sh) mod P, no global
     * dictionary, heavy-hitter bucket cap on — the 100 TB path (rows-only
-    * checked; the oracle-parity path q21 stays uncapped + exact).
+    * checked; [[minhashPairs]]/q21 differ only in the id dictionary — both
+    * run capped by default, and q21's oracle SQL mirrors the cap).
     * Signatures are row-local ([[minhashSigProd]]): the only shuffles left
     * are the bucket-cap count and the bucket self-join. */
   def minhashPairsProd(corpus: DataFrame, maxBucket: Int = 1000,

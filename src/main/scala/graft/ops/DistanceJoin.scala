@@ -112,9 +112,14 @@ object DistanceJoin {
     // per-row x half-span in cells: lon reach at the band's most poleward
     // latitude (|lat| + a + one cell of slack); beyond the polar cutoff the
     // whole x row is in reach
-    val phiM = least(lit(89.999), abs(col(ly)) + lit(aDeg + h))
-    val cosPhi = cos(radians(phiM))
-    val reachDeg = when(cosPhi <= sinA, lit(180.0))
+    // full-row decision uses the UNCLAMPED band latitude: a circle whose
+    // reach crosses the 89.999 clamp touches the pole region, where every
+    // longitude is in range — deciding on the clamped cosine would skip
+    // the cutoff for small radii (sinA below cos(89.999)) and miss
+    // across-the-pole pairs
+    val phiTrue = abs(col(ly)) + lit(aDeg + h)
+    val cosPhi = cos(radians(least(lit(89.999), phiTrue)))
+    val reachDeg = when(phiTrue >= 89.999 || cosPhi <= sinA, lit(180.0))
       .otherwise(degrees(asin(lit(sinA) / cosPhi)))
     // +1 cell of slack: a point on its cell's far edge with reach an exact
     // cell multiple lands on the boundary of one cell further than

@@ -278,9 +278,12 @@ object TextStats {
   def contamination(docs: DataFrame, probes: Seq[String] = ProbeShingles): DataFrame = {
     val probeArr = array(probes.distinct.map(lit): _*)
     // native distinct-shingle array (one pass; array_intersect is
-    // distinct-valued anyway, so per-doc-distinct input is identical)
+    // distinct-valued anyway, so per-doc-distinct input is identical);
+    // NULL text coalesces to "" so n_hits is 0, matching the oracle's
+    // LEFT JOIN + COALESCE (and the langIdNgram/repetitionStats siblings)
     val nHits = size(array_intersect(
-      graft.ops.MinhashExpressions.distinctShingles(col("text")), probeArr)).cast("long")
+      graft.ops.MinhashExpressions.distinctShingles(coalesce(col("text"), lit(""))),
+      probeArr)).cast("long")
     docs.select(col("doc_id"), nHits.as("n_hits"),
       when(nHits > 0, 1L).otherwise(0L).as("hit01"))
   }

@@ -59,24 +59,13 @@ object TileClip {
       while (i < n) { out(2 * i) = cs(i).x; out(2 * i + 1) = cs(i).y; i += 1 }
       out
     }
-    def dedupe(r: Array[Double]): Array[Double] = {
-      val n = r.length / 2
-      val out = new scala.collection.mutable.ArrayBuffer[Double](r.length)
-      var i = 0
-      while (i < n) {
-        val j = (i + 1) % n
-        if (r(2 * i) != r(2 * j) || r(2 * i + 1) != r(2 * j + 1)) { out += r(2 * i); out += r(2 * i + 1) }
-        i += 1
-      }
-      out.toArray
-    }
     def pts(r: Array[Double]): Seq[(Double, Double)] =
       r.grouped(2).map(a => (a(0), a(1))).toSeq
-    val shell = dedupe(ClipRect.clip(ring(p.getExteriorRing), x0, y0, x1, y1))
+    val shell = ClipRect.dedupeRing(ClipRect.clip(ring(p.getExteriorRing), x0, y0, x1, y1))
     if (shell.length < 6 || ClipRect.area2x(shell) == 0.0) None
     else {
       val holes = (0 until p.getNumInteriorRing)
-        .map(i => dedupe(ClipRect.clip(ring(p.getInteriorRingN(i)), x0, y0, x1, y1)))
+        .map(i => ClipRect.dedupeRing(ClipRect.clip(ring(p.getInteriorRingN(i)), x0, y0, x1, y1)))
         .filter(h => h.length >= 6 && ClipRect.area2x(h) != 0.0)
       Some(WkbCodec.polygon(pts(shell), holes.map(pts).toSeq))
     }
@@ -108,21 +97,6 @@ case class TileClipExpr(child: Expression, level: Int, snapScale: Option[Double]
     out
   }
 
-  /** consecutive-duplicate-free copy (incl. wraparound), for WKB emission */
-  private def dedupe(ring: Array[Double]): Array[Double] = {
-    val n = ring.length / 2
-    val out = new scala.collection.mutable.ArrayBuffer[Double](ring.length)
-    var i = 0
-    while (i < n) {
-      val j = (i + 1) % n
-      if (ring(2 * i) != ring(2 * j) || ring(2 * i + 1) != ring(2 * j + 1)) {
-        out += ring(2 * i); out += ring(2 * i + 1)
-      }
-      i += 1
-    }
-    out.toArray
-  }
-
   override def nullSafeEval(wkbAny: Any): Any = {
     val g = WkbCodec.read(wkbAny.asInstanceOf[Array[Byte]])
     if (!g.isInstanceOf[Polygon]) return new GenericArrayData(Array.empty[Any])
@@ -142,13 +116,13 @@ case class TileClipExpr(child: Expression, level: Int, snapScale: Option[Double]
       if (aShell > 0) {
         val ch = holes.map(h => ClipRect.clip(h, sx0, sy0, sx1, sy1)).filter(_.length >= 6)
         val a = aShell - ch.map(h => math.abs(ClipRect.area2x(h))).sum
-        val shellD = dedupe(cs)
+        val shellD = ClipRect.dedupeRing(cs)
         val wkb: Array[Byte] =
           if (shellD.length >= 6) {
             def unscaled(r: Array[Double]): Seq[(Double, Double)] =
               r.grouped(2).map(p => (p(0) / scale, p(1) / scale)).toSeq
             WkbCodec.write(WkbCodec.polygon(unscaled(shellD),
-              ch.map(dedupe).filter(_.length >= 6).map(unscaled).toSeq))
+              ch.map(ClipRect.dedupeRing).filter(_.length >= 6).map(unscaled).toSeq))
           } else null
         out += InternalRow(cx, cy, shellD.length / 2, math.rint(a).toLong, wkb)
       }

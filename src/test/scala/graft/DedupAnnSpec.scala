@@ -457,6 +457,27 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(r.toSeq === Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
   }
 
+  test("contamination: NULL text counts as zero hits (oracle LEFT JOIN parity)") {
+    import spark.implicits._
+    val d = Seq((1L, Some("xx slow hash batch yy")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = TextStats.contamination(d).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 1L, 1L), (2L, 0L, 0L)))
+  }
+
+  test("IVF topK: corpora smaller than nlist (and empty) degrade instead of crashing") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    // 5 vectors < nlist=16: trains 5 centroids, query joins still work
+    val tiny = emb.orderBy("vec_id").limit(5)
+    val r = Ann.topKIvf(tiny, k = 2, qmod = 1, nprobe = 2)
+    assert(r.filter(col("rank") === 1).count() > 0)
+    // empty table: empty result with the right schema, no analysis error
+    val empty = Ann.topKIvf(emb.limit(0), k = 2, qmod = 1)
+    assert(empty.columns.toSeq === Seq("query_id", "rank", "nn_id", "dot"))
+    assert(empty.count() === 0)
+  }
+
   test("PII redaction: emails/IPs/phones replaced with placeholders, counts audit") {
     import spark.implicits._
     val d = Seq(

@@ -75,6 +75,18 @@ class DistanceJoinSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("dwithinGeodesic: sub-cell radius across the pole (clamp must not skip full-row)") {
+    import spark.implicits._
+    // ~89 m apart over the pole (lat 89.9996 both sides, lon 0 vs 180):
+    // aDeg ~ 0.0009 for 100 m, so the 89.999-degree phi clamp is what
+    // decides whether the full-lon-row sweep triggers
+    val l = Seq((1L, 0.0, 89.9996), (2L, 10.0, 50.0)).toDF("lid", "lx", "ly")
+    val r = Seq((1L, 180.0, 89.9996), (2L, 10.0005, 50.0)).toDF("rid", "rx", "ry")
+    val got = DistanceJoin.dwithinGeodesic(l, "lx", "ly", r, "rx", "ry", 100.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 2L)))
+  }
+
   test("dwithin keeps points at the world edge (clamped cells)") {
     import spark.implicits._
     val l = Seq((1L, -179.99, -89.99), (2L, 179.99, 89.99)).toDF("lid", "lx", "ly")
