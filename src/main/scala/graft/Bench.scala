@@ -244,7 +244,7 @@ object Bench {
         Thread.sleep(5000); quietBudgetMs -= 5000
       } catch { case _: Throwable => () }
     }
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_PAIRS", "3").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_PAIRS", "4").toInt
     // scaling pairs run on HALF the replication by default: the phase
     // measures a RATIO (fps at two widths over the same input), and per-pair
     // wall cost — entity materialization + warmup + timed at both widths —

@@ -25,6 +25,16 @@ object BenchClusterWorker {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Size the timed scan's splits for the WIDE level: the cached entity
+      // quarters are ~hundreds of sub-MB files, and the default 128 MB
+      // maxPartitionBytes + 4 MB per-file open cost bin-packs them into
+      // ~9 splits — 16 cores idle at 10/16 ≈ 0.63 busy while 4 cores stay
+      // saturated, which shows up as a FAKE scaling-efficiency collapse
+      // (measured 0.66 vs 0.97). Small splits cost ~ms of per-task
+      // overhead against multi-second scans; on a real cluster this is
+      // exactly "size maxPartitionBytes so every executor has waves".
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -76,7 +86,8 @@ object BenchClusterWorker {
     val t0 = System.nanoTime()
     force(job())
     val sec = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[worker] from=$repFrom mat=$matSec%.1f timed=$sec%.3f")
+    System.err.println(f"[worker] from=$repFrom mat=$matSec%.1f timed=$sec%.3f " +
+      s"scanParts=${ents.rdd.getNumPartitions}")
     println(f"WORKER from=$repFrom to=$repTo feats=$feats sec=$sec%.3f")
     // entDir deliberately NOT deleted: later sample pairs reuse it; the
     // coordinator (Bench) removes graft_bench_ents_* when the scaling

@@ -334,6 +334,8 @@ object Oracles {
       s"""SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls FROM (
          | ${graft.ops.UrlOps.canonicalizePipelineSql(graft.ops.UrlOps.urlVariantsSql)}
          |) GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q69_line_dedup" -> graft.ops.CorpusOps.lineDedupSql(),
+    "q70_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(n = 20),
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q38_contamination" -> TextStats.contaminationSql(),
     "q39_pii_redact" -> TextStats.redactPiiSql,

@@ -261,6 +261,15 @@ object SparkEntry {
     "q68_html_extract" -> ((s, dir) =>
       ops.EntityExtract.htmlText(sources.WebPagesSynth.pages(s, dir))),
     "q47_quality_filter" -> ((s, dir) => TextStats.qualityFilter(t(s, dir, "documents"))),
+    // CCNet/C4-style line-level boilerplate removal: lines in >= 5 distinct
+    // docs stripped, per-doc line order preserved (planted nav/footer lines
+    // in the synthesized lined corpus must disappear)
+    "q69_line_dedup" -> ((s, dir) =>
+      ops.CorpusOps.lineDedup(ops.CorpusOps.linedCorpus(t(s, dir, "documents")))),
+    // deterministic stratified sample: 20 docs per language by portable
+    // multiplicative-hash draw, bounded-heap partial agg (no per-group sort)
+    "q70_stratified_sample" -> ((s, dir) =>
+      ops.CorpusOps.stratifiedSample(t(s, dir, "documents"), n = 20)),
 
     // Z-order clustered table + manifest/parquet data-skipping bbox read
     "q57_pruned_bbox" -> ((s, dir) => {

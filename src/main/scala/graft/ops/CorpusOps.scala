@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a Common-Crawl-scale training pipeline runs
+  * between dedup and training: line-level boilerplate removal (the
+  * CCNet/C4 step that strips lines repeated across many pages — nav bars,
+  * cookie banners, "subscribe" footers) and deterministic stratified
+  * sampling (fixed-size per-group draws that are reproducible across
+  * reruns and engines).
+  *
+  * Both are exact-integer / exact-string operators, so each is
+  * hash-checked against a DuckDB SQL replica (q69 / q70).
+  */
+object CorpusOps {
+
+  // ---------------- line-level dedup (CCNet/C4 boilerplate removal) ----
+
+  /** Planted boilerplate lines — deterministic, mirrored in the SQL. */
+  val Boiler1 = "subscribe to our newsletter for updates"
+  val Boiler2 = "copyright example site all rights reserved"
+
+  /** The `documents` table has single-line texts, so the lined corpus is
+    * synthesized identically in both engines: tokens re-chunked into
+    * 8-token lines, then boilerplate lines planted — [[Boiler1]] prepended
+    * for doc_id % 3 == 0, [[Boiler2]] appended for doc_id % 7 == 0 — and
+    * joined with '\n'. Pure row-local column math (no shuffle). */
+  def linedCorpus(docs: DataFrame): DataFrame = {
+    val toks = filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
+    val nLines = (size(toks) / 8).cast("int")
+    // sequence(0, -1) would step BACKWARDS (Spark infers step -1), so the
+    // empty-doc case short-circuits to an empty line array
+    val body = when(nLines > 0,
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val withB1 = when(col("doc_id") % 3 === 0,
+      concat(array(lit(Boiler1)), body)).otherwise(body)
+    val withB2 = when(col("doc_id") % 7 === 0,
+      concat(withB1, array(lit(Boiler2)))).otherwise(withB1)
+    docs.select(col("doc_id"), array_join(withB2, "\n").as("text"))
+  }
+
+  /** DuckDB replica of [[linedCorpus]] (a derived-table string over
+    * `documents`). Chunking uses 1-based inclusive list slices — the same
+    * 8-token windows as the Spark `slice` calls. */
+  val linedCorpusSql: String =
+    s"""(WITH toks AS (SELECT doc_id,
+       |   list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '') AS ts
+       |   FROM documents),
+       | body AS (SELECT doc_id,
+       |   list_transform(range(0, len(ts) // 8),
+       |     i -> array_to_string(ts[i*8+1:i*8+8], ' ')) AS ls FROM toks),
+       | planted AS (SELECT doc_id,
+       |   CASE WHEN doc_id % 3 = 0 THEN list_concat(['$Boiler1'], ls) ELSE ls END AS ls1
+       |   FROM body),
+       | planted2 AS (SELECT doc_id,
+       |   CASE WHEN doc_id % 7 = 0 THEN list_concat(ls1, ['$Boiler2']) ELSE ls1 END AS ls2
+       |   FROM planted)
+       | SELECT doc_id, array_to_string(ls2, chr(10)) AS text FROM planted2)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Line-level dedup: a line that appears in >= `minDocs` DISTINCT
+    * documents is boilerplate — remove every occurrence, keep the
+    * remaining lines in their original order. Output
+    * (doc_id, clean_text, n_removed).
+    *
+    * Scale shape (the CCNet step at 100 TB):
+    *  1. line frequency = groupBy(line).agg(count_distinct(doc_id)) —
+    *     Spark plans the distinct as a two-phase aggregate over
+    *     (line, doc_id) pairs with map-side partial combine, so a hot
+    *     boilerplate line contributes one pre-deduped pair per
+    *     (partition, doc), not one row per occurrence.
+    *  2. the boilerplate set joins back as a LEFT ANTI equi-join on the
+    *     line — it is orders of magnitude smaller than the corpus, so AQE
+    *     broadcasts it (at extreme scale a bloom filter of the set is the
+    *     same plan with false-positive re-check).
+    *  3. reassembly = groupBy(doc_id) + array_sort on (pos, line) — the
+    *     one unavoidable shuffle, keyed by the table's natural key.
+    * Every aggregate is map-side combinable; nothing is quadratic in the
+    * hottest line. */
+  def lineDedup(docs: DataFrame, minDocs: Int = 5): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // left join from the full doc list: a doc whose every line was
+    // boilerplate still gets a row (empty clean_text, full n_removed)
+    docs.select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n0"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** DuckDB replica of [[lineDedup]] over [[linedCorpusSql]]: the
+    * boilerplate set is collected into one list scalar and the per-doc
+    * filter runs as an order-preserving list_filter. */
+  def lineDedupSql(minDocs: Int = 5): String =
+    s"""WITH corpus AS (SELECT * FROM $linedCorpusSql c),
+       | ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+       | boiler AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+       |   FROM ln GROUP BY 1) WHERE nd >= $minDocs),
+       | bl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS dl FROM boiler)
+       | SELECT doc_id,
+       |   array_to_string(list_filter(string_split(text, chr(10)),
+       |     l -> NOT list_contains(dl, l)), chr(10)) AS clean_text,
+       |   CAST(len(string_split(text, chr(10)))
+       |     - len(list_filter(string_split(text, chr(10)),
+       |         l -> NOT list_contains(dl, l))) AS BIGINT) AS n_removed
+       | FROM corpus, bl""".stripMargin.replace("\n", " ")
+
+  // ---------------- deterministic stratified sampling ----------------
+
+  /** Engine-portable per-row draw: Knuth multiplicative hash in EXACT
+    * int64 (doc_id pre-modded so the product never overflows — DuckDB
+    * errors on BIGINT overflow where Java wraps). NOT xxhash64: the two
+    * engines' hash functions differ. */
+  private val DrawP = 2147483647L // 2^31 - 1, prime
+  private def draw(id: Column): Column = pmod(pmod(id, lit(DrawP)) * lit(2654435761L), lit(DrawP))
+  private def drawSqlExpr(id: String): String = s"(($id % $DrawP) * 2654435761) % $DrawP"
+
+  /** Deterministic stratified sample: the `n` docs with the smallest draw
+    * per group. Reproducible across reruns, engines, and partitionings
+    * (the draw is a pure function of doc_id).
+    *
+    * Scale shape: [[TopKByScore]] bounded-heap PARTIAL aggregate — the
+    * shuffle carries at most (#partitions x #groups x n) heap entries,
+    * where the `row_number() over (partition by grp order by draw)` form
+    * would shuffle and sort the full corpus. A 1e12-doc table sampled to
+    * n=10k per language moves megabytes, not terabytes. */
+  def stratifiedSample(docs: DataFrame, n: Int, groupCol: String = "lang"): DataFrame =
+    docs.select(col(groupCol).as("grp"), col("doc_id"), draw(col("doc_id")).as("d"))
+      .groupBy("grp")
+      // score = -draw: TopKByScore keeps (score desc, id asc) = (draw asc,
+      // doc_id asc), the same total order as the oracle's ORDER BY
+      .agg(TopKByScore(-col("d"), col("doc_id"), n).as("topk"))
+      .select(col("grp"), posexplode(col("topk")).as(Seq("p", "s")))
+      .select(col("grp").as(groupCol), (col("p") + 1).cast("long").as("smp_rank"),
+        col("s.nn_id").as("doc_id"), (-col("s.score")).cast("long").as("d"))
+
+  def stratifiedSampleSql(n: Int, groupCol: String = "lang"): String =
+    s"""SELECT $groupCol, CAST(rn AS BIGINT) AS smp_rank, doc_id, CAST(d AS BIGINT) AS d
+       | FROM (SELECT $groupCol, doc_id, ${drawSqlExpr("doc_id")} AS d,
+       |   row_number() OVER (PARTITION BY $groupCol ORDER BY ${drawSqlExpr("doc_id")}, doc_id) AS rn
+       |   FROM documents)
+       | WHERE rn <= $n""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite with SparkTest {
+
+  test("linedCorpus: 8-token lines, boilerplate planted by doc_id rules") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i").mkString(" ") // 20 tokens -> 2 lines
+    val d = Seq((3L, words), (7L, words), (21L, words), (1L, words), (2L, "short text"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.linedCorpus(d).as[(Long, String)].collect().toMap
+    val l1 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val l2 = (9 to 16).map(i => s"w$i").mkString(" ")
+    assert(r(1L) === s"$l1\n$l2")
+    assert(r(3L) === s"${CorpusOps.Boiler1}\n$l1\n$l2")
+    assert(r(7L) === s"$l1\n$l2\n${CorpusOps.Boiler2}")
+    assert(r(21L) === s"${CorpusOps.Boiler1}\n$l1\n$l2\n${CorpusOps.Boiler2}")
+    assert(r(2L) === "") // < 8 tokens: no full line
+  }
+
+  test("lineDedup: cross-doc repeated lines removed, order kept, empty-doc row survives") {
+    import spark.implicits._
+    val boiler = "click here to subscribe"
+    val docs = ((1 to 6).map(i => (i.toLong, s"$boiler\nunique line $i\nanother $i")) :+
+      (7L, s"only unique here\nsecond line") :+
+      (8L, boiler)) // all-boilerplate doc
+      .toDF("doc_id", "text")
+    val r = CorpusOps.lineDedup(docs, minDocs = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r.length === 8)
+    (1 to 6).foreach { i =>
+      assert(r(i - 1) === (i.toLong, s"unique line $i\nanother $i", 1L))
+    }
+    assert(r(6) === (7L, "only unique here\nsecond line", 0L))
+    assert(r(7) === (8L, "", 1L))
+  }
+
+  test("lineDedup: a line repeated WITHIN one doc counts one distinct doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup\ndup\ndup\ndup\ndup\nkeep me"), // 5 copies, 1 doc
+      (2L, "other\nlines")).toDF("doc_id", "text")
+    val r = CorpusOps.lineDedup(docs, minDocs = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // "dup" appears in only 1 distinct doc -> NOT boilerplate
+    assert(r(0) === (1L, "dup\ndup\ndup\ndup\ndup\nkeep me", 0L))
+  }
+
+  test("stratifiedSample: n smallest draws per group, brute-force parity") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val got = CorpusOps.stratifiedSample(docs, n = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, r, id, d) => (g, r, id, d) }.sortBy(x => (x._1, x._2))
+    def draw(id: Long) = ((id % 2147483647L) * 2654435761L) % 2147483647L
+    val want = (1 to 200).map(i => (if (i % 3 == 0) "en" else "de", i.toLong))
+      .groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+        xs.map(_._2).sortBy(id => (draw(id), id)).take(7).zipWithIndex
+          .map { case (id, p) => (g, (p + 1).toLong, id, draw(id)) }
+      }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want)
+    // partial-agg shape: no window sort over the full corpus
+    val plan = CorpusOps.stratifiedSample(docs, n = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sample plan fell back to a window:\n$plan")
+  }
+}
