@@ -335,6 +335,7 @@ object Oracles {
          | ${graft.ops.UrlOps.canonicalizePipelineSql(graft.ops.UrlOps.urlVariantsSql)}
          |) GROUP BY 1""".stripMargin.replace("\n", " "),
     "q69_line_dedup" -> graft.ops.CorpusOps.lineDedupSql(),
+    "q71_pack_shards" -> graft.ops.CorpusOps.packShardsSql(budget = 2000),
     "q70_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(n = 20),
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q38_contamination" -> TextStats.contaminationSql(),

@@ -270,6 +270,12 @@ object SparkEntry {
     // multiplicative-hash draw, bounded-heap partial agg (no per-group sort)
     "q70_stratified_sample" -> ((s, dir) =>
       ops.CorpusOps.stratifiedSample(t(s, dir, "documents"), n = 20)),
+    // training-shard packing: two-level distributed prefix sum (per-block
+    // totals -> block offsets -> bounded within-block window), never a
+    // global-order window; blockSize 64 at sf scale so the block structure
+    // is actually exercised
+    "q71_pack_shards" -> ((s, dir) =>
+      ops.CorpusOps.packShards(t(s, dir, "documents"), budget = 2000, blockSize = 64)),
 
     // Z-order clustered table + manifest/parquet data-skipping bbox read
     "q57_pruned_bbox" -> ((s, dir) => {

@@ -120,6 +120,54 @@ object CorpusOps {
        |         l -> NOT list_contains(dl, l))) AS BIGINT) AS n_removed
        | FROM corpus, bl""".stripMargin.replace("\n", " ")
 
+  // ---------------- training-shard packing (distributed prefix sum) ----
+
+  /** Assign every doc to a training shard of ~`budget` tokens, in
+    * deterministic doc_id order: shard = floor(cum_tokens_before / budget)
+    * (docs are not split; a doc straddling a boundary belongs to the shard
+    * its first token lands in).
+    *
+    * The naive plan — `sum(ntok) OVER (ORDER BY doc_id)` — is a
+    * single-partition global sort: every row through one reducer. This
+    * runs the classic TWO-LEVEL PREFIX SUM instead:
+    *  1. block = doc_id / blockSize; per-block token totals via groupBy —
+    *     map-side combinable, output rows = n_docs/blockSize;
+    *  2. exclusive running offset across the (tiny) block-total table —
+    *     the only ordered scan, over blocks not docs;
+    *  3. offsets broadcast-join back; within-block running sum via a
+    *     window PARTITIONED BY block — partition size bounded by
+    *     blockSize, so no reducer ever sees more than blockSize rows.
+    * At 1e12 docs / blockSize 1e6 the ordered step touches 1e6 rows and
+    * every other stage is an equi-join or bounded window.
+    * Output (doc_id, n_tok, shard). */
+  def packShards(docs: DataFrame, budget: Long, blockSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ntok = size(filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")).cast("long")
+    val d = docs.select(col("doc_id"), ntok.as("n_tok"),
+      expr(s"CAST(doc_id DIV ${blockSize}L AS BIGINT)").as("_blk"))
+    val blockTotals = d.groupBy("_blk").agg(sum(col("n_tok")).as("_bt"))
+    val offsets = blockTotals.withColumn("_off",
+      coalesce(sum(col("_bt")).over(
+        Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_blk", "_off")
+    val withinW = Window.partitionBy("_blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), Seq("_blk"))
+      .withColumn("_cumBefore", col("_off") + coalesce(sum(col("n_tok")).over(withinW), lit(0L)))
+      // integer DIV, not double `/`: a double quotient rounds once the
+      // corpus-wide token total passes 2^53
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"CAST(_cumBefore DIV ${budget}L AS BIGINT)").as("shard"))
+  }
+
+  def packShardsSql(budget: Long): String =
+    s"""SELECT doc_id,
+       | CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+       | CAST(COALESCE(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')))
+       |   OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |   // $budget AS BIGINT) AS shard
+       | FROM documents""".stripMargin.replace("\n", " ")
+
   // ---------------- deterministic stratified sampling ----------------
 
   /** Engine-portable per-row draw: Knuth multiplicative hash in EXACT

@@ -49,6 +49,54 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     assert(r(0) === (1L, "dup\ndup\ndup\ndup\ndup\nkeep me", 0L))
   }
 
+  test("lineDedup: brute-force parity on randomized corpora (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val vocabLines = (1 to 12).map(i => s"line v$i")
+      val docs = (1 to 40).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        (id.toLong, Seq.fill(n)(vocabLines(rnd.nextInt(vocabLines.size))).mkString("\n"))
+      }
+      val minDocs = 2 + rnd.nextInt(3)
+      // brute force: distinct-doc count per line
+      val cnt = docs.flatMap { case (id, t) => t.split("\n").distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val boiler = cnt.filter(_._2 >= minDocs).keySet
+      val want = docs.map { case (id, t) =>
+        val kept = t.split("\n", -1).filterNot(boiler)
+        (id, kept.mkString("\n"), (t.split("\n", -1).length - kept.length).toLong)
+      }.sortBy(_._1)
+      val got = graft.ops.CorpusOps.lineDedup(docs.toDF("doc_id", "text"), minDocs)
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === want, s"trial $trial minDocs $minDocs")
+    }
+  }
+
+  test("packShards: equals the global-order cumulative sum, across block boundaries") {
+    import spark.implicits._
+    val docs = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(1 + (i * 7) % 13)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps.packShards(docs, budget = 50, blockSize = 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val want = (1 to 300).map { i =>
+      val n = (1 + (i * 7) % 13).toLong
+      val r = (i.toLong, n, cum / 50)
+      cum += n
+      r
+    }
+    assert(got.toSeq === want)
+    // shards are contiguous runs and every shard except the last reaches
+    // its budget with <= one straddling doc
+    val byShard = got.groupBy(_._3).toSeq.sortBy(_._1)
+    byShard.dropRight(1).foreach { case (s, xs) =>
+      val tot = xs.map(_._2).sum
+      assert(tot >= 50 - 12, s"shard $s underfilled: $tot")
+    }
+  }
+
   test("stratifiedSample: n smallest draws per group, brute-force parity") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
