@@ -282,9 +282,10 @@ object Bench {
       }
       lastPairSec = (System.nanoTime() - tPair0) / 1e9
       iter += 1
-      effOf(samples.toSeq).foreach(e =>
+      val eff = effOf(samples.toSeq)
+      eff.foreach(e =>
         System.err.println(f"[bench] scaling after pair $iter: min-of-samples efficiency $e%.3f"))
-      done = effOf(samples.toSeq).exists(_ >= 0.95)
+      done = eff.exists(_ >= 0.95)
     }
     val scaling: Option[(BenchCluster.ClusterRun, BenchCluster.ClusterRun)] = {
       val his = samples.filter(_.cores == wideCores)

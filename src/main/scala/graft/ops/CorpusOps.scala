@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * sampling (fixed-size per-group draws that are reproducible across
   * reruns and engines).
   *
-  * Both are exact-integer / exact-string operators, so each is
-  * hash-checked against a DuckDB SQL replica (q69 / q70).
+  * All are exact-integer / exact-string operators, so each is
+  * hash-checked against a DuckDB SQL replica (q69 / q70 / q71).
   */
 object CorpusOps {
 
@@ -21,13 +21,19 @@ object CorpusOps {
   val Boiler1 = "subscribe to our newsletter for updates"
   val Boiler2 = "copyright example site all rights reserved"
 
+  /** The ONE whitespace-token definition (NULL-safe) that q69/q71 parity
+    * rests on — the Spark and DuckDB token rules must change together. */
+  private def toks: Column =
+    filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
+  private val toksSqlExpr =
+    "list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')"
+
   /** The `documents` table has single-line texts, so the lined corpus is
     * synthesized identically in both engines: tokens re-chunked into
     * 8-token lines, then boilerplate lines planted — [[Boiler1]] prepended
     * for doc_id % 3 == 0, [[Boiler2]] appended for doc_id % 7 == 0 — and
     * joined with '\n'. Pure row-local column math (no shuffle). */
   def linedCorpus(docs: DataFrame): DataFrame = {
-    val toks = filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
     val nLines = (size(toks) / 8).cast("int")
     // sequence(0, -1) would step BACKWARDS (Spark infers step -1), so the
     // empty-doc case short-circuits to an empty line array
@@ -47,7 +53,7 @@ object CorpusOps {
     * 8-token windows as the Spark `slice` calls. */
   val linedCorpusSql: String =
     s"""(WITH toks AS (SELECT doc_id,
-       |   list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '') AS ts
+       |   $toksSqlExpr AS ts
        |   FROM documents),
        | body AS (SELECT doc_id,
        |   list_transform(range(0, len(ts) // 8),
@@ -81,8 +87,12 @@ object CorpusOps {
     * Every aggregate is map-side combinable; nothing is quadratic in the
     * hottest line. */
   def lineDedup(docs: DataFrame, minDocs: Int = 5): DataFrame = {
+    // NULL text behaves as "" (one empty line), matching the SQL replica's
+    // COALESCE — without it, size(split(NULL)) = -1 turns n_removed
+    // negative and the doc vanishes from the explode side
+    val textNN = coalesce(col("text"), lit(""))
     val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      posexplode(split(textNN, "\n")).as(Seq("pos", "line")))
     val boiler = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -96,7 +106,7 @@ object CorpusOps {
         count(lit(1)).as("n_kept"))
     // left join from the full doc list: a doc whose every line was
     // boilerplate still gets a row (empty clean_text, full n_removed)
-    docs.select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n0"))
+    docs.select(col("doc_id"), size(split(textNN, "\n")).cast("long").as("n0"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -108,15 +118,15 @@ object CorpusOps {
     * filter runs as an order-preserving list_filter. */
   def lineDedupSql(minDocs: Int = 5): String =
     s"""WITH corpus AS (SELECT * FROM $linedCorpusSql c),
-       | ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+       | ln AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS line FROM corpus),
        | boiler AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
        |   FROM ln GROUP BY 1) WHERE nd >= $minDocs),
        | bl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS dl FROM boiler)
        | SELECT doc_id,
-       |   array_to_string(list_filter(string_split(text, chr(10)),
+       |   array_to_string(list_filter(string_split(COALESCE(text, ''), chr(10)),
        |     l -> NOT list_contains(dl, l)), chr(10)) AS clean_text,
-       |   CAST(len(string_split(text, chr(10)))
-       |     - len(list_filter(string_split(text, chr(10)),
+       |   CAST(len(string_split(COALESCE(text, ''), chr(10)))
+       |     - len(list_filter(string_split(COALESCE(text, ''), chr(10)),
        |         l -> NOT list_contains(dl, l))) AS BIGINT) AS n_removed
        | FROM corpus, bl""".stripMargin.replace("\n", " ")
 
@@ -142,7 +152,7 @@ object CorpusOps {
     * Output (doc_id, n_tok, shard). */
   def packShards(docs: DataFrame, budget: Long, blockSize: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ntok = size(filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")).cast("long")
+    val ntok = size(toks).cast("long")
     val d = docs.select(col("doc_id"), ntok.as("n_tok"),
       expr(s"CAST(doc_id DIV ${blockSize}L AS BIGINT)").as("_blk"))
     val blockTotals = d.groupBy("_blk").agg(sum(col("n_tok")).as("_bt"))
@@ -162,8 +172,8 @@ object CorpusOps {
 
   def packShardsSql(budget: Long): String =
     s"""SELECT doc_id,
-       | CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')) AS BIGINT) AS n_tok,
-       | CAST(COALESCE(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')))
+       | CAST(len($toksSqlExpr) AS BIGINT) AS n_tok,
+       | CAST(COALESCE(SUM(len($toksSqlExpr))
        |   OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |   // $budget AS BIGINT) AS shard
        | FROM documents""".stripMargin.replace("\n", " ")

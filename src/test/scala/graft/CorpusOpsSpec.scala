@@ -49,6 +49,15 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     assert(r(0) === (1L, "dup\ndup\ndup\ndup\ndup\nkeep me", 0L))
   }
 
+  test("lineDedup: NULL text behaves as one empty line (n_removed never negative)") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("a line\nb line")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = graft.ops.CorpusOps.lineDedup(docs, minDocs = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, "a line\nb line", 0L), (2L, "", 0L)))
+  }
+
   test("lineDedup: brute-force parity on randomized corpora (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
