@@ -336,6 +336,10 @@ object Oracles {
          |) GROUP BY 1""".stripMargin.replace("\n", " "),
     "q69_line_dedup" -> graft.ops.CorpusOps.lineDedupSql(),
     "q71_pack_shards" -> graft.ops.CorpusOps.packShardsSql(budget = 2000),
+    "q72_pyramid_count" ->
+      s"""WITH $entsCte, $polysCte
+         | SELECT p.poly_id, CAST(count(*) AS BIGINT) AS n_points
+         | FROM ents e JOIN polys p ON $pipPred GROUP BY 1""".stripMargin.replace("\n", " "),
     "q70_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(n = 20),
     "q37_langid_ngram" -> TextStats.langIdNgramSql,
     "q38_contamination" -> TextStats.contaminationSql(),

@@ -276,6 +276,16 @@ object SparkEntry {
     // is actually exercised
     "q71_pack_shards" -> ((s, dir) =>
       ops.CorpusOps.packShards(t(s, dir, "documents"), budget = 2000, blockSize = 64)),
+    // GeoBlocks-style pyramid region count: interior cells answered from
+    // the pre-aggregated counts (coarsest fully-inside level), ONLY
+    // boundary-cell points rescanned + exactly refined — hash-equal to the
+    // brute-force pip-join GROUP BY oracle
+    "q72_pyramid_count" -> ((s, dir) => {
+      val pts = ents(s, dir)
+      val pyr = index.CellPyramid.build(pts, "lon", "lat", finest = 10, depth = 3)
+      index.CellPyramid.polygonCounts(s, pyr, pts, "lon", "lat",
+        sources.Layers.polygons(s, dir), finest = 10, depth = 3)
+    }),
 
     // Z-order clustered table + manifest/parquet data-skipping bbox read
     "q57_pruned_bbox" -> ((s, dir) => {

@@ -1,0 +1,136 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Polygon}
+import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+
+import graft.geom.WkbCodec
+
+/** GeoBlocks-style pre-aggregated cell pyramid (EDBT'21 "GeoBlocks: a
+  * query-cache accelerated data structure for spatial aggregation over
+  * polygons"): per-cell point counts at levels finest..finest-depth, so an
+  * arbitrary polygon-region count is answered from
+  *
+  *  - pre-aggregated counts of the cells FULLY INSIDE the polygon (taken
+  *    as coarse as the pyramid allows — a greedy quadtree descent), plus
+  *  - an exact point-in-polygon refine over ONLY the boundary cells'
+  *    points.
+  *
+  * At 10^12 points the query touches O(covering cells) pyramid rows and
+  * the point rows of the boundary shell alone — the interior, which is
+  * almost all of the data for a large region, is never rescanned. The
+  * result is EXACT (not an approximation): interior cells contribute their
+  * full pre-aggregated count (every point in a covered cell is in the
+  * polygon by definition of covers), boundary points are individually
+  * tested with the same JTS predicate as the PIP join, so q72 hash-matches
+  * the brute-force `JOIN ... ON pip GROUP BY` DuckDB oracle.
+  *
+  * Scale shape: the pyramid build is one groupBy(cell) count at the finest
+  * level (map-side combinable) plus rollups over the already-tiny counts
+  * table; the query-side classification runs driver-side over the POLYGON
+  * dim (same cost class as the broadcast covering index the PIP join
+  * builds) and ships two small (poly, cell) pair tables; both probe joins
+  * are broadcast equi-joins on the cell key.
+  */
+object CellPyramid {
+
+  /** Packed cell id (same layout as [[CellGrid.pack]]) as column math. */
+  def cellCol(lon: Column, lat: Column, level: Int): Column = {
+    val n = (1L << level).toDouble
+    val nMax = (1L << level) - 1
+    def clamp(c: Column) = greatest(lit(0L), least(lit(nMax), c))
+    val cx = clamp(floor((lon + 180.0) / 360.0 * n).cast("long"))
+    val cy = clamp(floor((lat + 90.0) / 180.0 * n).cast("long"))
+    lit(level.toLong << 58) + shiftleft(cx, 29) + cy
+  }
+
+  /** Counts per cell at levels finest, finest-1, ..., finest-depth (the
+    * packed id carries its level). One full-data aggregate at the finest
+    * level; every rollup re-aggregates the counts TABLE (cells, not
+    * points): parent id = same bit layout with halved coordinates. */
+  def build(points: DataFrame, lonCol: String, latCol: String,
+            finest: Int, depth: Int): DataFrame = {
+    require(depth >= 0 && finest - depth >= 0, s"bad pyramid $finest/$depth")
+    val base = points
+      .groupBy(cellCol(col(lonCol), col(latCol), finest).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val levels = Iterator.iterate(base) { cur =>
+      // parent of (level, x, y) is (level-1, x/2, y/2): rebuild the packed
+      // id from shifted fields — pure int64 column math
+      val l = shiftright(col("cell"), 58).bitwiseAND(lit(0x1fL))
+      val x = shiftright(col("cell"), 29).bitwiseAND(lit(0x1fffffffL))
+      val y = col("cell").bitwiseAND(lit(0x1fffffffL))
+      cur.select((shiftleft(l - 1, 58) + shiftleft(shiftright(x, 1), 29)
+          + shiftright(y, 1)).as("cell"), col("cnt"))
+        .groupBy("cell").agg(sum("cnt").as("cnt"))
+    }.take(depth + 1).toSeq
+    levels.reduce(_ unionAll _)
+  }
+
+  /** Greedy quadtree classification of one polygon against the pyramid's
+    * levels: covered cells are taken at the coarsest level where they are
+    * fully inside; cells still intersecting at the finest level form the
+    * boundary shell. Driver-side over the polygon DIM (prepared geometry,
+    * ≤ 4^depth × coverBBox(coarsest) JTS calls per polygon). */
+  private[graft] def classify(wkb: Array[Byte], finest: Int, depth: Int)
+      : (Seq[Long], Seq[Long]) = {
+    val gf = new GeometryFactory()
+    def rect(id: Long): Polygon = {
+      val (x0, y0, x1, y1) = CellGrid.bounds(id)
+      gf.createPolygon(Array(new Coordinate(x0, y0), new Coordinate(x1, y0),
+        new Coordinate(x1, y1), new Coordinate(x0, y1), new Coordinate(x0, y0)))
+    }
+    val poly = PreparedGeometryFactory.prepare(WkbCodec.read(wkb))
+    val env = poly.getGeometry.getEnvelopeInternal
+    val coarse = finest - depth
+    val interior = Seq.newBuilder[Long]
+    val boundary = Seq.newBuilder[Long]
+    def walk(id: Long): Unit = {
+      val r = rect(id)
+      if (poly.covers(r)) interior += id
+      else if (poly.intersects(r)) {
+        if (CellGrid.unpackLevel(id) == finest) boundary += id
+        else CellGrid.children(id).foreach(walk)
+      }
+    }
+    CellGrid.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, coarse)
+      .foreach { case (x, y) => walk(CellGrid.pack(x, y, coarse)) }
+    (interior.result(), boundary.result())
+  }
+
+  /** Exact per-polygon point counts answered from the pyramid + a boundary
+    * refine. `polygons` = (poly_id, geom WKB) dim; output
+    * (poly_id, n_points), polygons with zero points omitted (inner-join
+    * semantics, mirroring the oracle's plain JOIN..GROUP BY). */
+  def polygonCounts(spark: SparkSession, pyramid: DataFrame,
+                    points: DataFrame, lonCol: String, latCol: String,
+                    polygons: DataFrame, finest: Int, depth: Int): DataFrame = {
+    import spark.implicits._
+    val polys = polygons.select(col("poly_id"), col("geom")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val classified = polys.map { case (id, wkb) =>
+      val (in, bd) = classify(wkb, finest, depth)
+      (id, wkb, in, bd)
+    }
+    val interiorPairs = classified
+      .flatMap { case (id, _, in, _) => in.map(c => (id, c)) }.toSeq
+      .toDF("poly_id", "cell")
+    val boundaryPairs = classified
+      .flatMap { case (id, wkb, _, bd) => bd.map(c => (id, c, wkb)) }.toSeq
+      .toDF("poly_id", "cell", "wkb")
+    val interiorCounts = pyramid.join(broadcast(interiorPairs), Seq("cell"))
+      .groupBy("poly_id").agg(sum("cnt").as("n"))
+    // boundary refine: equi-join on the finest cell, then the SAME
+    // prepared-geometry contains as the PIP join's shuffle refine
+    val refine = udf((polyId: Long, wkb: Array[Byte], lon: Double, lat: Double) =>
+      graft.geom.PreparedCache.get(polyId, wkb).contains(WkbCodec.point(lon, lat)))
+    val boundaryCounts = points
+      .withColumn("cell", cellCol(col(lonCol), col(latCol), finest))
+      .join(broadcast(boundaryPairs), Seq("cell"))
+      .filter(refine(col("poly_id"), col("wkb"), col(lonCol), col(latCol)))
+      .groupBy("poly_id").agg(count(lit(1)).as("n"))
+    interiorCounts.unionAll(boundaryCounts)
+      .groupBy("poly_id").agg(sum("n").as("n_points"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index.{CellGrid, CellPyramid}
+import graft.geom.WkbCodec
+
+class CellPyramidSpec extends AnyFunSuite with SparkTest {
+
+  private def pts(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong, ((i * 131) % 700) / 2.0 - 174.7, ((i * 37) % 330) / 2.0 - 82.4)
+    }.toDF("id", "lon", "lat")
+  }
+
+  test("build: every rollup level preserves the total; parents sum their children") {
+    val p = pts(2000)
+    val pyr = CellPyramid.build(p, "lon", "lat", finest = 10, depth = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byLevel = pyr.groupBy { case (cell, _) => CellGrid.unpackLevel(cell) }
+    (7 to 10).foreach { l =>
+      assert(byLevel(l).map(_._2).sum === 2000L, s"level $l total")
+    }
+    val counts = pyr.toMap
+    byLevel(10).foreach { case (cell, cnt) =>
+      assert(counts(CellGrid.parent(cell)) >= cnt)
+    }
+    byLevel(8).foreach { case (cell, cnt) =>
+      assert(CellGrid.children(cell).map(counts.getOrElse(_, 0L)).sum === cnt)
+    }
+  }
+
+  test("classify: interior + boundary tile the polygon's cover, big diamond has interior") {
+    val wkb = WkbCodec.write(WkbCodec.diamond(10.0, 20.0, 2.0))
+    val (interior, boundary) = CellPyramid.classify(wkb, finest = 10, depth = 3)
+    assert(interior.nonEmpty, "a 2-degree diamond must cover whole cells at level 10")
+    assert(boundary.nonEmpty)
+    // boundary cells are finest-level; interior cells may be coarser
+    boundary.foreach(c => assert(CellGrid.unpackLevel(c) === 10))
+    assert(interior.exists(c => CellGrid.unpackLevel(c) < 10),
+      "greedy descent should take at least one coarse fully-inside cell")
+    // no finest-level cell is claimed by both an interior ancestor and boundary
+    def leaves(c: Long): Seq[Long] =
+      if (CellGrid.unpackLevel(c) == 10) Seq(c) else CellGrid.children(c).flatMap(leaves)
+    val interiorLeaves = interior.flatMap(leaves).toSet
+    assert(boundary.toSet.intersect(interiorLeaves).isEmpty)
+  }
+
+  test("polygonCounts == brute-force pip count (inner-join semantics)") {
+    import spark.implicits._
+    val p = pts(3000)
+    val polys = Seq(
+      (1L, 10.0, 20.0, 2.0), (2L, -100.25, 0.5, 1.4), (3L, 140.5, -40.0, 0.75),
+      (4L, 179.0, 80.0, 2.2), (5L, 0.0, 0.0, 0.05)) // tiny: likely zero points
+      .map { case (id, cx, cy, r) => (id, cx, cy, r, WkbCodec.write(WkbCodec.diamond(cx, cy, r))) }
+    val polyDf = polys.toDF("poly_id", "cx", "cy", "r", "geom")
+    val pyr = CellPyramid.build(p, "lon", "lat", finest = 10, depth = 3)
+    val got = CellPyramid.polygonCounts(spark, pyr, p, "lon", "lat", polyDf,
+      finest = 10, depth = 3).as[(Long, Long)].collect().toMap
+    val ptsLocal = p.as[(Long, Double, Double)].collect()
+    val want = polys.map { case (id, cx, cy, r, _) =>
+      id -> ptsLocal.count { case (_, x, y) => math.abs(x - cx) + math.abs(y - cy) < r }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got === want)
+    assert(want.values.sum > 0, "vacuous fixture")
+  }
+}
