@@ -64,5 +64,12 @@ class CellPyramidSpec extends AnyFunSuite with SparkTest {
     }.filter(_._2 > 0).toMap
     assert(got === want)
     assert(want.values.sum > 0, "vacuous fixture")
+    // plan shape: both probes are broadcast equi-joins on the cell key —
+    // no cartesian, no shuffled join against the point table
+    val plan = CellPyramid.polygonCounts(spark, pyr, p, "lon", "lat", polyDf,
+      finest = 10, depth = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 }
