@@ -336,6 +336,8 @@ object Oracles {
          |) GROUP BY 1""".stripMargin.replace("\n", " "),
     "q69_line_dedup" -> graft.ops.CorpusOps.lineDedupSql(),
     "q71_pack_shards" -> graft.ops.CorpusOps.packShardsSql(budget = 2000),
+    "q73_group_quantiles" ->
+      graft.ops.CorpusOps.groupQuantilesSql("n_chars", "lang", Seq(50, 90, 99)),
     "q72_pyramid_count" ->
       s"""WITH $entsCte, $polysCte
          | SELECT p.poly_id, CAST(count(*) AS BIGINT) AS n_points

@@ -276,6 +276,11 @@ object SparkEntry {
     // is actually exercised
     "q71_pack_shards" -> ((s, dir) =>
       ops.CorpusOps.packShards(t(s, dir, "documents"), budget = 2000, blockSize = 64)),
+    // exact per-language p50/p90/p99 document length from a (lang, value)
+    // histogram — the shuffle moves the histogram, never the rows
+    "q73_group_quantiles" -> ((s, dir) =>
+      ops.CorpusOps.groupQuantiles(t(s, dir, "documents"), "n_chars", "lang",
+        Seq(50, 90, 99))),
     // GeoBlocks-style pyramid region count: interior cells answered from
     // the pre-aggregated counts (coarsest fully-inside level), ONLY
     // boundary-cell points rescanned + exactly refined — hash-equal to the

@@ -178,6 +178,55 @@ object CorpusOps {
        |   // $budget AS BIGINT) AS shard
        | FROM documents""".stripMargin.replace("\n", " ")
 
+  // ---------------- exact distributed quantiles (histogram) -----------
+
+  /** EXACT per-group discrete quantiles of an integer feature without a
+    * global sort: the corpus collapses to a (group, value) histogram first
+    * — one map-side-combinable aggregate whose output is bounded by the
+    * number of DISTINCT feature values, not rows — then cumulative counts
+    * run in a window whose partitions are those (small) per-group
+    * histograms. pct p picks the smallest v with cum >= ceil(p*n/100)
+    * (the lower discrete quantile, quantile_disc semantics).
+    *
+    * This is what "p50/p90/p99 document length per language" costs at
+    * 100 TB when lengths are bounded integers: the only shuffle moves the
+    * histogram. `percentile_approx` gives error bars; a naive
+    * `ORDER BY v` window moves every row through one partition per group.
+    * Output (group, pct, qval) — all exact integers. */
+  def groupQuantiles(docs: DataFrame, valueCol: String, groupCol: String,
+                     pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), s"bad pcts $pcts")
+    val hist = docs.groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("grp").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    cum.withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      // ceil(pct*n/100) in exact int64 (pct*n <= 100 * rowcount, no overflow
+      // below ~9e16 rows)
+      .withColumn("target", expr("CAST((pct * n + 99) DIV 100 AS BIGINT)"))
+      .filter(col("cum") >= col("target") && col("cum") - col("cnt") < col("target"))
+      .select(col("grp").as(groupCol), col("pct"), col("v").as("qval"))
+  }
+
+  def groupQuantilesSql(valueCol: String, groupCol: String, pcts: Seq[Int]): String = {
+    val values = pcts.map(p => s"($p)").mkString(", ")
+    s"""WITH hist AS (SELECT $groupCol AS grp, CAST($valueCol AS BIGINT) AS v,
+       |   count(*) AS cnt FROM documents GROUP BY 1, 2),
+       | c AS (SELECT grp, v, cnt,
+       |   SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |   SUM(cnt) OVER (PARTITION BY grp) AS n FROM hist),
+       | q(pct) AS (VALUES $values)
+       | SELECT grp AS $groupCol, CAST(pct AS BIGINT) AS pct, CAST(v AS BIGINT) AS qval
+       | FROM c, q
+       | WHERE cum >= (pct * n + 99) // 100 AND cum - cnt < (pct * n + 99) // 100"""
+      .stripMargin.replace("\n", " ")
+  }
+
   // ---------------- deterministic stratified sampling ----------------
 
   /** Engine-portable per-row draw: Knuth multiplicative hash in EXACT

@@ -106,6 +106,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("groupQuantiles: exact lower discrete quantile, brute-force parity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 500).map { i =>
+      (i.toLong, if (i % 4 == 0) "en" else "de", (10 + rnd.nextInt(90)).toLong)
+    }.toDF("doc_id", "lang", "n_chars")
+    val got = graft.ops.CorpusOps.groupQuantiles(docs, "n_chars", "lang", Seq(1, 50, 90, 100))
+      .as[(String, Long, Long)].collect().toSet
+    val local = docs.as[(Long, String, Long)].collect()
+    val want = local.groupBy(_._2).flatMap { case (g, xs) =>
+      val vs = xs.map(_._3).sorted
+      Seq(1, 50, 90, 100).map { p =>
+        val target = (p * vs.length + 99) / 100
+        (g, p.toLong, vs(target - 1)) // lower discrete quantile: rank = ceil(p*n/100)
+      }
+    }.toSet
+    assert(got === want)
+    // pct=100 is the max — sanity anchor
+    local.groupBy(_._2).foreach { case (g, xs) =>
+      assert(got.contains((g, 100L, xs.map(_._3).max)))
+    }
+  }
+
   test("stratifiedSample: n smallest draws per group, brute-force parity") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
