@@ -336,6 +336,10 @@ object Oracles {
          |) GROUP BY 1""".stripMargin.replace("\n", " "),
     "q69_line_dedup" -> graft.ops.CorpusOps.lineDedupSql(),
     "q71_pack_shards" -> graft.ops.CorpusOps.packShardsSql(budget = 2000),
+    "q74_pyramid_incremental" ->
+      s"""WITH $entsCte
+         | ${graft.index.CellPyramid.pyramidSqlOver("ents e", eLon, eLat, finest = 10, depth = 3)}"""
+        .stripMargin.replace("\n", " "),
     "q73_group_quantiles" ->
       graft.ops.CorpusOps.groupQuantilesSql("n_chars", "lang", Seq(50, 90, 99)),
     "q72_pyramid_count" ->

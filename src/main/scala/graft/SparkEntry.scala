@@ -41,6 +41,9 @@ object SparkEntry {
   // and refines exactly — the oracle replays only the exact bbox filter,
   // so a pruning bug that loses rows hash-mismatches
   private val clusteredTables = scala.collection.concurrent.TrieMap.empty[String, String]
+  // q74: base+append TableLog table for the incremental-pyramid query,
+  // built once per (JVM, sfDir) — same memo pattern as q57
+  private val pyramidTables = scala.collection.concurrent.TrieMap.empty[String, String]
   private def clusteredNodes(s: SparkSession, dir: String): String =
     clusteredTables.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q57")
@@ -281,6 +284,32 @@ object SparkEntry {
     "q73_group_quantiles" -> ((s, dir) =>
       ops.CorpusOps.groupQuantiles(t(s, dir, "documents"), "n_chars", "lang",
         Seq(50, 90, 99))),
+    // incremental pyramid maintenance off the snapshot chain: base write
+    // (v1) + append (v2) into a TableLog table; the pyramid is built from
+    // v1 and folded forward with ONLY readChanges(v1, v2) — the oracle
+    // histogram over ALL points proves incremental == full rebuild
+    "q74_pyramid_incremental" -> ((s, dir) => {
+      val table = pyramidTables.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q74")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          try rm(tmp.toFile) catch { case _: Throwable => () }
+        }))
+        val t = tmp.toString + "/pts"
+        val pts = ents(s, dir).select(col("url"), col("ent_idx"), col("lon"), col("lat"))
+        graft.table.TableLog.write(pts.filter(col("ent_idx") % 5 =!= 4), t, "fail")
+        graft.table.TableLog.write(pts.filter(col("ent_idx") % 5 === 4), t, "append")
+        t
+      })
+      val base = index.CellPyramid.build(
+        graft.table.TableLog.readAt(s, table, 1L), "lon", "lat", finest = 10, depth = 3)
+      index.CellPyramid.updateWith(base,
+        graft.table.TableLog.readChanges(s, table, 1L, 2L), "lon", "lat",
+        finest = 10, depth = 3)
+    }),
     // GeoBlocks-style pyramid region count: interior cells answered from
     // the pre-aggregated counts (coarsest fully-inside level), ONLY
     // boundary-cell points rescanned + exactly refined — hash-equal to the

@@ -68,6 +68,35 @@ object CellPyramid {
     levels.reduce(_ unionAll _)
   }
 
+  /** Incremental maintenance: counts are additive, so appending a batch of
+    * points is `pyramid ⊎ build(batch)` re-aggregated on the cell key —
+    * the batch is scanned once, the existing pyramid is never rebuilt from
+    * data. Paired with [[graft.table.TableLog.readChanges]] this keeps the
+    * pyramid current off the table's snapshot chain: a consumer remembers
+    * only the last version it folded in (exactly the Iceberg-CDC pattern;
+    * hash-checked end-to-end by q74). */
+  def updateWith(pyramid: DataFrame, newPoints: DataFrame,
+                 lonCol: String, latCol: String, finest: Int, depth: Int): DataFrame =
+    pyramid.unionAll(build(newPoints, lonCol, latCol, finest, depth))
+      .groupBy("cell").agg(sum("cnt").as("cnt"))
+
+  /** DuckDB replica of a full pyramid build over a point source `src`
+    * exposing lon/lat SQL expressions — one histogram per level, UNION ALL,
+    * ids packed with the same (level<<58 | x<<29 | y) layout. */
+  def pyramidSqlOver(srcSql: String, lonSql: String, latSql: String,
+                     finest: Int, depth: Int): String =
+    (finest - depth to finest).map { l =>
+      val n = (1L << l).toDouble
+      val nMax = (1L << l) - 1
+      def clamp(e: String) = s"greatest(0, least($nMax, CAST(floor($e) AS BIGINT)))"
+      val cx = clamp(s"($lonSql + 180.0) / 360.0 * $n")
+      val cy = clamp(s"($latSql + 90.0) / 180.0 * $n")
+      s"""SELECT ${l.toLong << 58} + cx * ${1L << 29} + cy AS cell,
+         | CAST(count(*) AS BIGINT) AS cnt
+         | FROM (SELECT $cx AS cx, $cy AS cy FROM $srcSql) s$l GROUP BY 1"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+
   /** Greedy quadtree classification of one polygon against the pyramid's
     * levels: covered cells are taken at the coarsest level where they are
     * fully inside; cells still intersecting at the finest level form the

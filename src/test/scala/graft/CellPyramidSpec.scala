@@ -47,6 +47,18 @@ class CellPyramidSpec extends AnyFunSuite with SparkTest {
     assert(boundary.toSet.intersect(interiorLeaves).isEmpty)
   }
 
+  test("updateWith: incremental fold of an appended batch == full rebuild") {
+    val all = pts(2400)
+    val base = all.filter(col("id") % 3 =!= 0)
+    val delta = all.filter(col("id") % 3 === 0)
+    val inc = CellPyramid.updateWith(
+      CellPyramid.build(base, "lon", "lat", 10, 3), delta, "lon", "lat", 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val full = CellPyramid.build(all, "lon", "lat", 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(inc.toSeq === full.toSeq)
+  }
+
   test("polygonCounts == brute-force pip count (inner-join semantics)") {
     import spark.implicits._
     val p = pts(3000)
