@@ -44,11 +44,15 @@ object SparkEntry {
   // q74: base+append TableLog table for the incremental-pyramid query,
   // built once per (JVM, sfDir) — same memo pattern as q57
   private val pyramidTables = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def clusteredNodes(s: SparkSession, dir: String): String =
-    clusteredTables.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q57")
-      // tmpdir sits on tmpfs: an abandoned clustered copy per JVM is leaked
-      // RAM — delete on exit, same pattern as FileFixtures.fixtureDir
+
+  /** Build-once-per-(JVM, sfDir) temp TableLog table: tmpdir sits on
+    * tmpfs, so an abandoned copy per JVM is leaked RAM — delete on exit
+    * (same pattern as FileFixtures.fixtureDir). `build` receives the
+    * table path and writes it. */
+  private def memoTempTable(memo: scala.collection.concurrent.TrieMap[String, String],
+                            prefix: String, dir: String)(build: String => Unit): String =
+    memo.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -56,13 +60,19 @@ object SparkEntry {
         }
         try rm(tmp.toFile) catch { case _: Throwable => () }
       }))
-      val t = tmp.toString + "/nodes"
+      val t = tmp.toString + "/t"
+      build(t)
+      t
+    })
+
+  private def clusteredNodes(s: SparkSession, dir: String): String =
+    memoTempTable(clusteredTables, "graft_q57", dir) { t =>
       val pts = OsmElements.nodes(s, dir).select(col("node_id"), col("lon"), col("lat"))
         .withColumn("cell", graft.table.SpatialLayout.cellCol(col("lon"), col("lat"), level = 8))
       graft.table.TableLog.writeClustered(pts, t, "overwrite", srid = 4326,
         cellCol = "cell", buckets = 8)
-      t
-    })
+      ()
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- engine sanity (classic relational) ---
@@ -289,21 +299,16 @@ object SparkEntry {
     // v1 and folded forward with ONLY readChanges(v1, v2) — the oracle
     // histogram over ALL points proves incremental == full rebuild
     "q74_pyramid_incremental" -> ((s, dir) => {
-      val table = pyramidTables.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q74")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          try rm(tmp.toFile) catch { case _: Throwable => () }
-        }))
-        val t = tmp.toString + "/pts"
-        val pts = ents(s, dir).select(col("url"), col("ent_idx"), col("lon"), col("lat"))
-        graft.table.TableLog.write(pts.filter(col("ent_idx") % 5 =!= 4), t, "fail")
-        graft.table.TableLog.write(pts.filter(col("ent_idx") % 5 === 4), t, "append")
-        t
-      })
+      val table = memoTempTable(pyramidTables, "graft_q74", dir) { t =>
+        // only lon/lat are consumed downstream — the split key (ent_idx)
+        // is applied BEFORE the write, so neither it nor url hits parquet
+        val pts = ents(s, dir).select(col("ent_idx"), col("lon"), col("lat"))
+        graft.table.TableLog.write(
+          pts.filter(col("ent_idx") % 5 =!= 4).drop("ent_idx"), t, "fail")
+        graft.table.TableLog.write(
+          pts.filter(col("ent_idx") % 5 === 4).drop("ent_idx"), t, "append")
+        ()
+      }
       val base = index.CellPyramid.build(
         graft.table.TableLog.readAt(s, table, 1L), "lon", "lat", finest = 10, depth = 3)
       index.CellPyramid.updateWith(base,

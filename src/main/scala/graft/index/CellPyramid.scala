@@ -72,12 +72,18 @@ object CellPyramid {
     * points is `pyramid ⊎ build(batch)` re-aggregated on the cell key —
     * the batch is scanned once, the existing pyramid is never rebuilt from
     * data. Paired with [[graft.table.TableLog.readChanges]] this keeps the
-    * pyramid current off the table's snapshot chain: a consumer remembers
-    * only the last version it folded in (exactly the Iceberg-CDC pattern;
-    * hash-checked end-to-end by q74). */
+    * pyramid current off an APPEND-ONLY snapshot chain: a consumer
+    * remembers only the last version it folded in (the Iceberg-CDC
+    * pattern; hash-checked end-to-end by q74). After a bucket REWRITE
+    * (overwrite / compaction / merge), readChanges re-delivers carried-
+    * forward rows and additive folding would double-count — rebuild from
+    * the rewritten snapshot instead. */
   def updateWith(pyramid: DataFrame, newPoints: DataFrame,
                  lonCol: String, latCol: String, finest: Int, depth: Int): DataFrame =
-    pyramid.unionAll(build(newPoints, lonCol, latCol, finest, depth))
+    // an empty change set (readChanges with nothing new returns the
+    // zero-column emptyDataFrame) is a no-op, not an analysis error
+    if (newPoints.columns.isEmpty) pyramid
+    else pyramid.unionAll(build(newPoints, lonCol, latCol, finest, depth))
       .groupBy("cell").agg(sum("cnt").as("cnt"))
 
   /** DuckDB replica of a full pyramid build over a point source `src`

@@ -197,7 +197,11 @@ object CorpusOps {
                      pcts: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), s"bad pcts $pcts")
-    val hist = docs.groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    // NULL feature values are excluded (in BOTH engines): Spark windows
+    // order NULLS FIRST, DuckDB NULLS LAST — keeping them would break the
+    // hash-parity contract, and a quantile of NULL is meaningless anyway
+    val hist = docs.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("cum", sum("cnt").over(
@@ -215,7 +219,7 @@ object CorpusOps {
   def groupQuantilesSql(valueCol: String, groupCol: String, pcts: Seq[Int]): String = {
     val values = pcts.map(p => s"($p)").mkString(", ")
     s"""WITH hist AS (SELECT $groupCol AS grp, CAST($valueCol AS BIGINT) AS v,
-       |   count(*) AS cnt FROM documents GROUP BY 1, 2),
+       |   count(*) AS cnt FROM documents WHERE $valueCol IS NOT NULL GROUP BY 1, 2),
        | c AS (SELECT grp, v, cnt,
        |   SUM(cnt) OVER (PARTITION BY grp ORDER BY v
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,

@@ -33,10 +33,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
       val bad = globalWindows(df.queryExecution.optimizedPlan)
         // exemption: q71's two-level prefix sum runs its only ordered scan
         // over the BLOCK-TOTAL aggregate (n_docs/blockSize rows), never the
-        // corpus — an unpartitioned window whose input is already an
-        // Aggregate on the block key is exactly that reduced table
-        .filterNot(w => name == "q71_pack_shards" &&
-          w.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+        // corpus — recognized by the aggregate GROUPING ON THE BLOCK KEY
+        // (an aggregate child alone would also match row-scale groupings
+        // like a per-doc dedup, which the guard must keep catching)
+        .filterNot(w => name == "q71_pack_shards" && (w.child match {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.groupingExpressions.exists(_.references.exists(_.name == "_blk"))
+          case _ => false
+        }))
       assert(bad.isEmpty,
         s"$name has ${bad.size} unpartitioned Window op(s) — single-partition sort at scale")
     }
