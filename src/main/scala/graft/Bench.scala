@@ -275,7 +275,14 @@ object Bench {
     while (iter < maxPairs && !done &&
            remaining > (if (iter == 0) 330 else lastPairSec * 0.8)) {
       val tPair0 = System.nanoTime()
-      Seq((wideCores, 2.0), (wCores, 8.0)).foreach { case (c, thr) =>
+      // the WIDE level samples TWICE per pair: it needs 4x the free cores,
+      // so co-tenant bursts hit it far more often than the narrow level —
+      // with equal sample counts the narrow min converges to its quiet-box
+      // value while the wide min stays contended, and the min-of-samples
+      // efficiency is biased DOWN (a pair sequence was measured going
+      // 0.85 -> 0.67 as a quiet NARROW sample arrived). Wide is also
+      // ~3x cheaper per sample, so the extra shot costs little.
+      Seq((wideCores, 2.0), (wideCores, 2.0), (wCores, 8.0)).foreach { case (c, thr) =>
         awaitQuiet(thr)
         try samples += BenchCluster.run(workers = 1, cores = c, repTotal = scaleRep, sfDir = sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] scaling sample (local[$c]) failed: $e") }
