@@ -57,6 +57,35 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming pyramid maintenance: per-batch updateWith fold == batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1 to 900).map { i =>
+      (i.toLong, ((i * 131) % 700) / 2.0 - 174.7, ((i * 37) % 330) / 2.0 - 82.4)
+    }
+    val in = MemoryStream[(Long, Double, Double)]
+    // pyramid state folds across micro-batches exactly like the CDC
+    // consumer: counts are additive, so per-batch updateWith == full build
+    var pyramid = spark.emptyDataFrame
+    val q = in.toDF().toDF("id", "lon", "lat").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        pyramid =
+          (if (pyramid.columns.isEmpty)
+             graft.index.CellPyramid.build(batch, "lon", "lat", 10, 3)
+           else graft.index.CellPyramid.updateWith(pyramid, batch, "lon", "lat", 10, 3))
+            .localCheckpoint(true) // pin: MemoryStream batch frames don't outlive the batch
+        ()
+      }.start()
+    try {
+      all.grouped(300).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val got = pyramid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = graft.index.CellPyramid.build(all.toDF("id", "lon", "lat"), "lon", "lat", 10, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === want)
+      assert(got.map(_._2).sum === 900L * 4) // 900 points x 4 levels
+    } finally q.stop()
+  }
+
   test("stream ingest into TableLog: per-batch bucket commits, resume adds only new batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
