@@ -142,18 +142,21 @@ object CellPyramid {
                     points: DataFrame, lonCol: String, latCol: String,
                     polygons: DataFrame, finest: Int, depth: Int): DataFrame = {
     import spark.implicits._
-    val polys = polygons.select(col("poly_id"), col("geom")).collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-    val classified = polys.map { case (id, wkb) =>
-      val (in, bd) = classify(wkb, finest, depth)
-      (id, wkb, in, bd)
-    }
-    val interiorPairs = classified
-      .flatMap { case (id, _, in, _) => in.map(c => (id, c)) }.toSeq
-      .toDF("poly_id", "cell")
-    val boundaryPairs = classified
-      .flatMap { case (id, wkb, _, bd) => bd.map(c => (id, c, wkb)) }.toSeq
-      .toDF("poly_id", "cell", "wkb")
+    // classification runs ON EXECUTORS (flatMap over the polygon dim):
+    // the quadtree descent is the query's dominant CPU cost and must not
+    // serialize on the driver — a real polygon layer can be millions of
+    // rows. Materialized once (it feeds both broadcast builds; each
+    // exchange would otherwise re-run every JTS descent).
+    val pairs = polygons.select(col("poly_id"), col("geom"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, wkb) =>
+        val (in, bd) = classify(wkb, finest, depth)
+        in.iterator.map(c => (id, c, true, null: Array[Byte])) ++
+          bd.iterator.map(c => (id, c, false, wkb))
+      }.toDF("poly_id", "cell", "interior", "wkb")
+      .localCheckpoint(true)
+    val interiorPairs = pairs.filter(col("interior")).select("poly_id", "cell")
+    val boundaryPairs = pairs.filter(!col("interior")).select("poly_id", "cell", "wkb")
     val interiorCounts = pyramid.join(broadcast(interiorPairs), Seq("cell"))
       .groupBy("poly_id").agg(sum("cnt").as("n"))
     // boundary refine: equi-join on the finest cell, then the SAME
