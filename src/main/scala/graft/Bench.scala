@@ -282,7 +282,11 @@ object Bench {
       // efficiency is biased DOWN (a pair sequence was measured going
       // 0.85 -> 0.67 as a quiet NARROW sample arrived). Wide is also
       // ~3x cheaper per sample, so the extra shot costs little.
-      Seq((wideCores, 2.0), (wideCores, 2.0), (wCores, 8.0)).foreach { case (c, thr) =>
+      // second wide shot waits at the LOOSE threshold: the 1-min loadavg
+      // right after our own first wide burst is self-induced, not real
+      // contention (same rationale as the narrow threshold), and spinning
+      // on it would drain the cumulative quiet budget for nothing
+      Seq((wideCores, 2.0), (wideCores, 8.0), (wCores, 8.0)).foreach { case (c, thr) =>
         awaitQuiet(thr)
         try samples += BenchCluster.run(workers = 1, cores = c, repTotal = scaleRep, sfDir = sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] scaling sample (local[$c]) failed: $e") }
@@ -292,7 +296,12 @@ object Bench {
       val eff = effOf(samples.toSeq)
       eff.foreach(e =>
         System.err.println(f"[bench] scaling after pair $iter: min-of-samples efficiency $e%.3f"))
-      done = eff.exists(_ >= 0.95)
+      // early-stop only on a CONVERGED reading: at least two pairs (so the
+      // narrow min is a min over >= 2 samples) and eff inside the sane
+      // band. eff > 1.05 is NOT success — contention inflates the narrow
+      // NUMERATOR, so an inflated ratio converges DOWN as narrow finds a
+      // quiet window; stopping on it would publish an overestimate.
+      done = iter >= 2 && eff.exists(e => e >= 0.85 && e <= 1.05)
     }
     val scaling: Option[(BenchCluster.ClusterRun, BenchCluster.ClusterRun)] = {
       val his = samples.filter(_.cores == wideCores)
@@ -364,6 +373,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extras}""")
     Console.out.flush()
 
+    val wideN = samples.count(_.cores == wideCores)
+    val narrowN = samples.count(_.cores == wCores)
     val scalingMd = scaling.map { case (lo, hi) =>
       val eff = hi.fps / (4.0 * lo.fps)
       s"""## Scaling evidence (north rule: N vs 4N)
@@ -380,12 +391,14 @@ object Bench {
          |quiet-box run of the concurrent 1-vs-4-process form measured
          |efficiency 0.84-1.04 — the pipeline is embarrassingly parallel:
          |no shuffle, no serial stage, broadcast-only dims). Numbers are
-         |best-of-$iter interleaved sample pairs (bounded by a wall-clock
-         |budget of ${budgetSec.toInt} s with an early stop once efficiency
-         |clears 0.95); the wide sample runs first after each quiet-loadavg
-         |wait (it needs 4x the cores, so co-tenant bursts bias against it
-         |— min wall = uncontended capability), and the wide level is
-         |capped at half the box so bursts overlap free cores.
+         |mins over $iter interleaved sample pairs, each pair = two wide
+         |samples + one narrow (bounded by a wall-clock budget of
+         |${budgetSec.toInt} s with an early stop once >= 2 pairs read a
+         |converged efficiency in [0.85, 1.05]); the wide samples run first
+         |after a quiet-loadavg wait (they need 4x the cores, so co-tenant
+         |bursts bias against them — min wall = uncontended capability),
+         |and the wide level is capped at half the box so bursts overlap
+         |free cores.
          |
          || level | cores | wall sec | features/sec |
          ||---|---|---|---|
@@ -398,13 +411,16 @@ object Bench {
            |wall-clock budget);
            |**scaling efficiency fps(4N cores) / (4 x fps(N cores)) = $eff%.3f**
            |(target >= 0.8, BASELINE.md).
+           |Sample counts behind the mins: $wideN wide, $narrowN narrow
+           |(each pair runs the wide level twice — it needs 4x the free
+           |cores, so contention biases against it — then narrow once).
            |""".stripMargin +
-        (if (eff > 1.0)
-          """A value above 1.0 means the NARROW level's best sample is still
-            |contention-inflated (the wide level's capability is proven by its
-            |own min; the narrow level cannot be faster than its true wall),
-            |so the >= 0.8 criterion is met a fortiori — the engine side is
-            |embarrassingly parallel (no shuffle, broadcast-only dims).
+        (if (eff > 1.05)
+          """A value above ~1.0 means the NARROW min is still
+            |contention-inflated (contention inflates the numerator), i.e.
+            |the ratio has NOT converged and overstates true efficiency —
+            |read it as "not yet converged from above", not as superlinear
+            |hardware; this pipeline's quiet-box reference is 0.93-0.95.
             |""".stripMargin
          else "")
     }.getOrElse("## Scaling evidence\n\nSkipped this run (wall-clock budget); see the last committed BENCH.md scaling table.\n")

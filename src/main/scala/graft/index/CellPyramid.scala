@@ -28,10 +28,9 @@ import graft.geom.WkbCodec
   *
   * Scale shape: the pyramid build is one groupBy(cell) count at the finest
   * level (map-side combinable) plus rollups over the already-tiny counts
-  * table; the query-side classification runs driver-side over the POLYGON
-  * dim (same cost class as the broadcast covering index the PIP join
-  * builds) and ships two small (poly, cell) pair tables; both probe joins
-  * are broadcast equi-joins on the cell key.
+  * table; the query-side classification runs distributed over the POLYGON
+  * dim (flatMap on executors), producing two small (poly, cell) pair
+  * tables; both probe joins are broadcast equi-joins on the cell key.
   */
 object CellPyramid {
 
@@ -106,8 +105,9 @@ object CellPyramid {
   /** Greedy quadtree classification of one polygon against the pyramid's
     * levels: covered cells are taken at the coarsest level where they are
     * fully inside; cells still intersecting at the finest level form the
-    * boundary shell. Driver-side over the polygon DIM (prepared geometry,
-    * ≤ 4^depth × coverBBox(coarsest) JTS calls per polygon). */
+    * boundary shell. Pure function of one polygon (prepared geometry,
+    * ≤ 4^depth × coverBBox(coarsest) JTS calls) — run on executors via
+    * flatMap over the polygon dim in [[polygonCounts]]. */
   private[graft] def classify(wkb: Array[Byte], finest: Int, depth: Int)
       : (Seq[Long], Seq[Long]) = {
     val gf = new GeometryFactory()
@@ -145,18 +145,21 @@ object CellPyramid {
     // classification runs ON EXECUTORS (flatMap over the polygon dim):
     // the quadtree descent is the query's dominant CPU cost and must not
     // serialize on the driver — a real polygon layer can be millions of
-    // rows. Materialized once (it feeds both broadcast builds; each
-    // exchange would otherwise re-run every JTS descent).
-    val pairs = polygons.select(col("poly_id"), col("geom"))
+    // rows. The pair table is then collected ONCE: both consumers are
+    // broadcast builds, which collect their child to the driver anyway,
+    // so this adds no scaling constraint — and unlike a localCheckpoint
+    // it pins no block-manager blocks for the session lifetime
+    val pairRows = polygons.select(col("poly_id"), col("geom"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, wkb) =>
         val (in, bd) = classify(wkb, finest, depth)
         in.iterator.map(c => (id, c, true, null: Array[Byte])) ++
           bd.iterator.map(c => (id, c, false, wkb))
-      }.toDF("poly_id", "cell", "interior", "wkb")
-      .localCheckpoint(true)
-    val interiorPairs = pairs.filter(col("interior")).select("poly_id", "cell")
-    val boundaryPairs = pairs.filter(!col("interior")).select("poly_id", "cell", "wkb")
+      }.collect()
+    val interiorPairs = pairRows.collect { case (id, c, true, _) => (id, c) }
+      .toSeq.toDF("poly_id", "cell")
+    val boundaryPairs = pairRows.collect { case (id, c, false, w) => (id, c, w) }
+      .toSeq.toDF("poly_id", "cell", "wkb")
     val interiorCounts = pyramid.join(broadcast(interiorPairs), Seq("cell"))
       .groupBy("poly_id").agg(sum("cnt").as("n"))
     // boundary refine: equi-join on the finest cell, then the SAME

@@ -199,9 +199,13 @@ object CorpusOps {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), s"bad pcts $pcts")
     // NULL feature values are excluded (in BOTH engines): Spark windows
     // order NULLS FIRST, DuckDB NULLS LAST — keeping them would break the
-    // hash-parity contract, and a quantile of NULL is meaningless anyway
-    val hist = docs.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    // hash-parity contract, and a quantile of NULL is meaningless anyway.
+    // The filter runs on the CAST value: a non-numeric string casts to
+    // NULL silently in Spark and would sneak a v=NULL histogram row past
+    // a pre-cast filter
+    val vCast = col(valueCol).cast("long")
+    val hist = docs.filter(vCast.isNotNull)
+      .groupBy(col(groupCol).as("grp"), vCast.as("v"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("cum", sum("cnt").over(
