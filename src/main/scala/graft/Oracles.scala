@@ -126,7 +126,11 @@ object Oracles {
 
     // brute-force haversine dwithin; threshold constant sin^2(a/2) is
     // computed once in Scala and embedded as a literal so both engines
-    // compare against the identical double
+    // compare against the identical double. Boundary margin MEASURED and
+    // pinned by DistanceJoinSpec ("q61 boundary margin"): the closest
+    // synthetic pair sits 1.8e-6 = 1.4e14 ulps from havA at sf0.001 —
+    // ~14 decimal orders beyond any cross-math-library sin/cos divergence
+    // (last-ulp each), so the hash cannot flip across engines.
     "q61_dwithin_geodesic" -> {
       val a = 120000.0 / graft.ops.DistanceJoin.EarthRadiusM
       val havA = { val s = math.sin(a / 2); s * s }
@@ -361,6 +365,9 @@ object Oracles {
     "q40_geojson_scan" -> graft.sources.FileFixtures.geojsonOracle,
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
     "q43_shapefile_dsv2" -> graft.sources.FileFixtures.shapefileOracle,
+    "q75_geojsonl_dsv2" -> graft.sources.FileFixtures.geojsonlOracle,
+    "q78_geojson_dsv2" -> graft.sources.FileFixtures.geojsonOracle,
+    "q79_pbf_dsv2" -> graft.sources.FileFixtures.pbfOracle,
     "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,
     "q60_pbf_relations" -> graft.sources.FileFixtures.pbfRelOracle,
 
@@ -401,6 +408,21 @@ object Oracles {
     "q62_cosine_recall" ->
       """SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank1_is_mirror
         | FROM embeddings WHERE vec_id % 40 = 0""".stripMargin.replace("\n", " "),
+
+    // quantified recall@5 floors (q76/q77): the Spark side computes
+    // per-query recall of the approximate path against the exact blocked
+    // top-k and emits the floor indicator; the oracle asserts the floor
+    // holds for EVERY query in the real query set (vec_id % 20 = 0 — the
+    // same set the exact side ranks). Floor constants are generated from
+    // SparkEntry so both sides move together.
+    "q76_ivf_recall_at_k" ->
+      s"""SELECT vec_id AS query_id, CAST(1 AS BIGINT)
+        | AS recall_ge_${graft.SparkEntry.IvfRecallFloorPct}
+        | FROM embeddings WHERE vec_id % 20 = 0""".stripMargin.replace("\n", " "),
+    "q77_cosine_recall_at_k" ->
+      s"""SELECT vec_id AS query_id, CAST(1 AS BIGINT)
+        | AS recall_ge_${graft.SparkEntry.CosineRecallFloorPct}
+        | FROM embeddings WHERE vec_id % 20 = 0""".stripMargin.replace("\n", " "),
 
     // tile-content clipping. q64: every polygon's per-cell pieces must sum
     // to its closed-form doubled area in x80 units (diamond area 2r^2 =>

@@ -13,7 +13,10 @@ import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory
   * not safe — the same JVM runs many queries over different polygon layers
   * (local mode, tests) that can reuse ids. The checksum is one linear pass
   * over the bytes, far cheaper than the parse + prepare + ring-index build
-  * it saves.
+  * it saves. A hit additionally verifies the stored bytes with
+  * Arrays.equals (same linear cost as the checksum): a reused poly_id with
+  * equal-length, hash-colliding WKB must never return the wrong prepared
+  * geometry — that would be a silent wrong PIP result, not a perf bug.
   *
   * ThreadLocal (not a shared concurrent map) because PreparedGeometry is
   * not thread-safe for concurrent queries; per-task-thread locality also
@@ -23,13 +26,15 @@ import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory
 object PreparedCache {
   private final case class Key(id: Long, len: Int, hash: Int)
 
+  private final case class Entry(wkb: Array[Byte], geom: PreparedGeometry)
+
   private val MaxEntries = 4096
 
-  private val tl: ThreadLocal[java.util.LinkedHashMap[Key, PreparedGeometry]] =
+  private val tl: ThreadLocal[java.util.LinkedHashMap[Key, Entry]] =
     ThreadLocal.withInitial { () =>
-      new java.util.LinkedHashMap[Key, PreparedGeometry](64, 0.75f, true) {
+      new java.util.LinkedHashMap[Key, Entry](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[Key, PreparedGeometry]): Boolean =
+            e: java.util.Map.Entry[Key, Entry]): Boolean =
           size() > MaxEntries
       }
     }
@@ -37,11 +42,11 @@ object PreparedCache {
   def get(id: Long, wkb: Array[Byte]): PreparedGeometry = {
     val key = Key(id, wkb.length, java.util.Arrays.hashCode(wkb))
     val m = tl.get()
-    var g = m.get(key)
-    if (g == null) {
-      g = PreparedGeometryFactory.prepare(WkbCodec.read(wkb))
-      m.put(key, g)
+    var e = m.get(key)
+    if (e == null || !java.util.Arrays.equals(e.wkb, wkb)) {
+      e = Entry(wkb.clone(), PreparedGeometryFactory.prepare(WkbCodec.read(wkb)))
+      m.put(key, e)
     }
-    g
+    e.geom
   }
 }

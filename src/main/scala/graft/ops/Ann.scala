@@ -35,6 +35,28 @@ object Ann {
     "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
       "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)"
 
+  /** Corpus with a planted, DECIDABLE top-`copies` neighborhood per query:
+    * each query vector (vec_id % qmod == 0) gets `copies` exact copies at
+    * vec_id + 1000000 + j (j = 1..copies). On the raw isotropic-random
+    * table a per-query recall floor is UNDECIDABLE — a random query's true
+    * top-k scatters uniformly over IVF cells, so nprobe/nlist bounds the
+    * expected recall (~12% at 2/16) and the per-query minimum is 0 —
+    * whereas with the planted neighborhood the exact top-`copies` IS the
+    * copy set (dot = self-dot beats every random dot by ~sqrt(dim) sigmas,
+    * measured with margin in DedupAnnSpec), identical vectors land in the
+    * query's own cell (always probed), so recall@k is structurally 100%
+    * and the q76/q77 floor contracts are hash-checkable. Offsets j ∈
+    * [1, copies] with copies < qmod keep planted ids off the query set
+    * (id % qmod = j ≠ 0) and collision-free (query spacing qmod > copies). */
+  def plantedCorpus(embeddings: DataFrame, qmod: Int, copies: Int): DataFrame = {
+    require(copies < qmod, s"copies=$copies must stay below qmod=$qmod")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % qmod === 0)
+      .select(explode(sequence(lit(1L), lit(copies.toLong))).as("j"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") + 1000000L + col("j")).as("vec_id"), col("embedding")))
+  }
+
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
@@ -311,6 +333,29 @@ object Ann {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.nn_id").as("nn_id"), col("s.score").as("dot"))
+  }
+
+  /** Per-query recall@k of an approximate top-k against the exact top-k —
+    * the quantified floor contract for the rows-only ANN paths (q29/q44):
+    * recall_pct = 100 * |approx ∩ exact| / |exact| per query, emitted as a
+    * hash-checkable BIGINT floor indicator (the oracle asserts every query
+    * meets the floor; the percentage itself is approximate-path-dependent,
+    * so it cannot be oracle-replicated — the floor can). Both inputs are
+    * (query_id, rank, nn_id, ...) frames over the same query set. The
+    * recall join is an equi-join on (query_id, nn_id) over two k-row-per-
+    * query frames — at 100 TB these are top-k RESULTS (tiny relative to
+    * the corpus), so this check costs nothing next to the searches it
+    * audits. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, floorPct: Int): DataFrame = {
+    val ex = exact.select(col("query_id"), col("nn_id"))
+    val ap = approx.select(col("query_id"), col("nn_id"), lit(1L).as("hit"))
+    ex.join(ap, Seq("query_id", "nn_id"), "left_outer")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) * 100L / count(lit(1L)))
+        .cast("long").as("recall_pct"))
+      .select(col("query_id"),
+        when(col("recall_pct") >= floorPct, 1L).otherwise(0L)
+          .as(s"recall_ge_$floorPct"))
   }
 
   /** Production float-cosine top-k (order-dependent float sums — checked

@@ -141,7 +141,63 @@ case class WayAssembleExpr(child: Expression, bc: Broadcast[NodeCoordMap])
   override def prettyName: String = "osm_way_assemble"
 }
 
+/** Prepared-geometry point-in-polygon refine for the SHUFFLE join path:
+  * (poly_id, wkb, lon, lat) -> boolean, the same [[graft.geom.PreparedCache]]
+  * the old ScalaUDF used. As an Expression it evaluates on InternalRow
+  * buffers — no CatalystTypeConverters boxing of the WKB byte array per
+  * candidate pair — and keeps the surrounding filter inside the
+  * whole-stage-codegen'd join stage (CodegenFallback: the JTS contains
+  * dominates the call). */
+case class PreparedContainsExpr(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(id: Any, wkb: Any, lon: Any, lat: Any): Any =
+    graft.geom.PreparedCache.get(id.asInstanceOf[Long], wkb.asInstanceOf[Array[Byte]])
+      .contains(WkbCodec.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "st_prepared_contains"
+}
+
+/** Same refine with the polygon bytes coming from a broadcast
+  * poly_id -> WKB map instead of a join column — the
+  * [[graft.index.CellPyramid]] boundary probe, where shipping one WKB per
+  * (poly, cell) pair was the round-3 scale-killer. */
+case class PreparedContainsMapExpr(first: Expression, second: Expression,
+                                   third: Expression,
+                                   bc: Broadcast[Map[Long, Array[Byte]]])
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(id: Any, lon: Any, lat: Any): Any = {
+    val polyId = id.asInstanceOf[Long]
+    graft.geom.PreparedCache.get(polyId, bc.value(polyId))
+      .contains(WkbCodec.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_prepared_contains_bc"
+}
+
 object GeoExpressions {
+
+  /** (poly_id, wkb, lon, lat) -> point-in-polygon boolean (shuffle refine). */
+  def preparedContains(polyId: Column, wkb: Column, lon: Column, lat: Column): Column =
+    ExpressionUtils.column(PreparedContainsExpr(
+      ExpressionUtils.expression(polyId), ExpressionUtils.expression(wkb),
+      ExpressionUtils.expression(lon), ExpressionUtils.expression(lat)))
+
+  /** (poly_id, lon, lat) -> point-in-polygon boolean, WKB from a broadcast
+    * poly_id -> bytes map (pyramid boundary refine). */
+  def preparedContainsBc(polyId: Column, lon: Column, lat: Column,
+                         bc: Broadcast[Map[Long, Array[Byte]]]): Column =
+    ExpressionUtils.column(PreparedContainsMapExpr(
+      ExpressionUtils.expression(polyId), ExpressionUtils.expression(lon),
+      ExpressionUtils.expression(lat), bc))
 
   /** (closed, pts) -> WKB geometry for an assembled OSM way. */
   def wayWkb(closed: Column, pts: Column): Column =

@@ -24,7 +24,11 @@ import scala.collection.mutable
   *   members ⋈ way-coords --groupBy(rel_id)--> ring stitching UDF
   *
   * Stitching rules (deterministic):
-  *  - start each ring at the unused member way with the smallest way_id;
+  *  - a member way whose first and last vertices coincide is a complete
+  *    ring by itself and never extends another ring (it is excluded from
+  *    the endpoint index — see stitchRings);
+  *  - start each open ring at the unused open member way with the smallest
+  *    way_id;
   *    extend by any unused way sharing an endpoint (reversed if needed,
   *    smallest way_id first); a ring that never closes is dropped;
   *  - ring role = role of its first (smallest-id) way; rings of < 4 points
@@ -54,13 +58,22 @@ object OsmRelationAssembly {
   private[ops] def stitchRings(
       members: Seq[(Long, String, Seq[(Double, Double)])]): Seq[Ring] = {
     val usable = members.filter(_._3.length >= 2).sortBy(_._1)
+    val rings = mutable.ArrayBuffer.empty[Ring]
+    // A member way with head == last is a complete ring on its own (island
+    // outers, lake inners). It must NOT enter the endpoint index: an open
+    // chain whose current endpoint touches a closed way's start node (rings
+    // that touch at a point are common in real OSM) would otherwise absorb
+    // the whole loop — yielding an invalid self-touching ring AND silently
+    // dropping the closed way's own outer/inner ring.
+    val (closedWays, openWays) = usable.partition(m => m._3.head == m._3.last)
+    for ((wid, role, pts) <- closedWays if pts.length >= 4)
+      rings += Ring(wid, role, pts.toVector)
     val byEndpoint = mutable.Map.empty[(Double, Double), mutable.ArrayBuffer[Int]]
-    for (j <- usable.indices; p <- Seq(usable(j)._3.head, usable(j)._3.last).distinct)
+    for (j <- openWays.indices; p <- Seq(openWays(j)._3.head, openWays(j)._3.last).distinct)
       byEndpoint.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += j
     val used = mutable.Set.empty[Int]
-    val rings = mutable.ArrayBuffer.empty[Ring]
-    for (start <- usable.indices if !used(start)) {
-      val (wid0, role0, pts0) = usable(start)
+    for (start <- openWays.indices if !used(start)) {
+      val (wid0, role0, pts0) = openWays(start)
       used += start
       var ring = pts0.toVector
       var minId = wid0
@@ -73,7 +86,7 @@ object OsmRelationAssembly {
         // per-endpoint buffers are in way_id order because usable is)
         val nextIdx = byEndpoint.get(end).flatMap(_.find(!used(_)))
         nextIdx.foreach { j =>
-          val (wid, _, pts) = usable(j)
+          val (wid, _, pts) = openWays(j)
           used += j
           val seg = if (pts.head == end) pts else pts.reverse
           ring = ring ++ seg.tail

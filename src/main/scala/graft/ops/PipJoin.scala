@@ -92,14 +92,14 @@ object PipJoin {
           .otherwise(lit(0)))
       .drop("hot_cell")
 
-    // prepared-geometry LRU (per task thread): a dense cell delivers the
-    // same polygon to the refine thousands of times; without the cache the
-    // WKB parse + prepare per candidate pair dominates the join
-    val refine = udf((polyId: Long, wkb: Array[Byte], lon: Double, lat: Double) =>
-      graft.geom.PreparedCache.get(polyId, wkb).contains(WkbCodec.point(lon, lat)))
-
+    // prepared-geometry refine (native Expression over the per-thread LRU
+    // in PreparedCache): a dense cell delivers the same polygon to the
+    // refine thousands of times; without the cache the WKB parse + prepare
+    // per candidate pair dominates the join. Native (not ScalaUDF) so the
+    // WKB bytes are read straight off the InternalRow — no boxing per pair
     saltedPts.join(saltedCover, Seq("cell", "salt"))
-      .filter(refine(col("poly_id"), col("geom"), col("lon"), col("lat")))
+      .filter(GeoExpressions.preparedContains(
+        col("poly_id"), col("geom"), col("lon"), col("lat")))
       .drop("cell", "salt", "geom", "cx", "cy", "r")
   }
 

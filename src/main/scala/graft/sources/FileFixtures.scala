@@ -88,11 +88,76 @@ object FileFixtures {
       d
     })
 
+  private def geoProjection(df: DataFrame): DataFrame =
+    df.select(
+      col("name"),
+      round(col("val") * 4).cast("long").as("val_q"),
+      when(col("flag"), 1L).otherwise(0L).as("flag01"),
+      call_function("st_geometrytype", col("geom")).as("gtype"),
+      call_function("st_npoints", col("geom")).as("npts"),
+      round(call_function("st_area", col("geom")) * 2).cast("long").as("area2"),
+      round(call_function("st_x", call_function("st_centroid", col("geom"))) * 4).cast("long").as("x4"),
+      round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
+
   def geojsonScanQuery(spark: SparkSession): DataFrame = {
     val dir = fixtureDir("q40")(d => writeGeoJson(s"$d/fix.geojson"))
     val path = s"$dir/fix.geojson"
     graft.ops.GraftFunctions.register(spark)
-    val df = GeoJsonReader.read(spark, path)
+    geoProjection(GeoJsonReader.read(spark, path))
+  }
+
+  /** Same q40 fixture through the DSV2 scan (executor-side streaming
+    * parse, column pruning) — must match the same closed-form oracle. */
+  def geojsonScanQueryV2(spark: SparkSession): DataFrame = {
+    val dir = fixtureDir("q40")(d => writeGeoJson(s"$d/fix.geojson"))
+    graft.ops.GraftFunctions.register(spark)
+    geoProjection(spark.read.format("geojson").load(s"$dir/fix.geojson"))
+  }
+
+  val geojsonOracle: String = valuesSql(
+    Seq("name", "val_q", "flag01", "gtype", "npts", "area2", "x4", "y4"),
+    geoFeats.map(f => Seq(lit(f.name), big(f.valQ), big(f.flag01), lit(f.gtype),
+      big(f.npts), big(f.area2), big(f.x4), big(f.y4))))
+
+  // ================= q75: GeoJSONL (ndjson) through byte-range splits =====
+  /** 40k features (~7 MB), one per line, alternating Point / axis-aligned
+    * integer square — the same shape family as q40 but big enough that the
+    * DSV2 byte-range splitter cuts one file into many input partitions.
+    * All values are closed-form in `i` so the DuckDB oracle derives from
+    * `range(0, N)` instead of a VALUES literal. A `geom` PROPERTY key is
+    * planted on every line (must be skipped, geojson.rs:34-36). */
+  final case class JlFeat(i: Int) {
+    val name = s"f$i"
+    val value: Double = (i * 3 + 1) / 4.0 // exact quarters
+    val flag: Boolean = i % 3 == 0
+    val isPoint: Boolean = i % 2 == 0
+    val x: Int = -170 + i % 340
+    val y: Int = -80 + i % 160
+    val side: Int = 1 + i % 4
+    def geomJson: String =
+      if (isPoint) s"""{"type":"Point","coordinates":[$x,$y]}"""
+      else s"""{"type":"Polygon","coordinates":[[[$x,$y],[$x,${y + side}],""" +
+        s"""[${x + side},${y + side}],[${x + side},$y],[$x,$y]]]}"""
+    def line: String =
+      s"""{"type":"Feature","properties":{"name":"$name","val":$value,""" +
+        s""""flag":$flag,"geom":$i},"geometry":$geomJson}"""
+  }
+  val JlCount = 40000
+
+  def writeGeoJsonl(path: String): Unit = {
+    val w = Files.newBufferedWriter(Paths.get(path))
+    try (0 until JlCount).foreach { i => w.write(JlFeat(i).line); w.write("\n") }
+    finally w.close()
+  }
+
+  def geojsonlScanQuery(spark: SparkSession): DataFrame = {
+    val dir = fixtureDir("q75")(d => writeGeoJsonl(s"$d/fix.geojsonl"))
+    graft.ops.GraftFunctions.register(spark)
+    // splitBytes 1 MB: the ~7 MB fixture fans out to ~8 byte-range input
+    // partitions — the scan itself must reassemble the identical table
+    // (straddling lines read by exactly one split)
+    val df = spark.read.format("geojsonl")
+      .option("splitBytes", (1L << 20).toString).load(s"$dir/fix.geojsonl")
     df.select(
       col("name"),
       round(col("val") * 4).cast("long").as("val_q"),
@@ -104,10 +169,20 @@ object FileFixtures {
       round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
   }
 
-  val geojsonOracle: String = valuesSql(
-    Seq("name", "val_q", "flag01", "gtype", "npts", "area2", "x4", "y4"),
-    geoFeats.map(f => Seq(lit(f.name), big(f.valQ), big(f.flag01), lit(f.gtype),
-      big(f.npts), big(f.area2), big(f.x4), big(f.y4))))
+  /** Oracle re-derives every column from the SAME closed forms over
+    * range(0, N) — never from the reader. */
+  val geojsonlOracle: String =
+    s"""SELECT 'f' || CAST(i AS VARCHAR) AS name,
+       | CAST(i*3+1 AS BIGINT) AS val_q,
+       | CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS flag01,
+       | CASE WHEN i % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS gtype,
+       | CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 5 END AS BIGINT) AS npts,
+       | CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE 2*(1 + i%4)*(1 + i%4) END AS BIGINT) AS area2,
+       | CAST(CASE WHEN i % 2 = 0 THEN 4*(-170 + i%340)
+       |      ELSE 4*(-170 + i%340) + 2*(1 + i%4) END AS BIGINT) AS x4,
+       | CAST(CASE WHEN i % 2 = 0 THEN 4*(-80 + i%160)
+       |      ELSE 4*(-80 + i%160) + 2*(1 + i%4) END AS BIGINT) AS y4
+       | FROM range(0, $JlCount) t(i)""".stripMargin.replace("\n", " ")
 
   // ================= q41: Shapefile =================
   /** 10 square polygons; DBF covers all four supported field types,
@@ -302,6 +377,18 @@ object FileFixtures {
     val df = OsmPbfReader.read(spark, path)
     df.select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"),
       element_at(col("tags"), 1).as("tag0"))
+  }
+
+  /** Same q42 fixture through the DSV2 blob-range scans (nodes + ways as
+    * `format("osmpbf")` tables) and the same assembly — same oracle. */
+  def pbfScanQueryV2(spark: SparkSession): DataFrame = {
+    val dir = fixtureDir("q42")(d => writePbf(s"$d/fix.osm.pbf"))
+    val path = s"$dir/fix.osm.pbf"
+    val nodes = spark.read.format("osmpbf").option("element", "nodes").load(path)
+    val ways = spark.read.format("osmpbf").option("element", "ways").load(path)
+    graft.ops.OsmWayAssembly.assemble(spark, nodes, ways)
+      .select(col("way_id"), col("kind"), col("npts").cast("long").as("npts"),
+        element_at(col("tags"), 1).as("tag0"))
   }
 
   val pbfOracle: String = valuesSql(

@@ -42,8 +42,10 @@ object GeoJsonReader {
     org.apache.spark.sql.GraftShim.column(
       graft.ops.SqlFunctions.StGeomFromGeoJson(org.apache.spark.sql.GraftShim.expression(c)))
 
-  /** Schema fields from the FIRST feature's properties (geojson.rs:29-33). */
-  private def schemaFromFirstFeature(firstFeature: Option[JsonNode]): StructType = {
+  /** Schema fields from the FIRST feature's properties (geojson.rs:29-33).
+    * Shared with the ndjson DSV2 source ([[graft.sources.v2.GeoJsonlSource]])
+    * so both GeoJSON shapes infer identically. */
+  private[sources] def schemaFromFirstFeature(firstFeature: Option[JsonNode]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     firstFeature.foreach { feat =>
       val props = feat.path("properties")
@@ -175,8 +177,19 @@ object GeoJsonReader {
     * The returned iterator closes the stream on exhaustion. */
   def parseRowsStream(open: () => java.io.InputStream, schema: StructType,
                       fromSrid: Int, reproject: Option[Int]): Iterator[Row] = {
-    import com.fasterxml.jackson.core.{JsonParser, JsonToken}
     val attrs = schema.fields.dropRight(1)
+    featureStream(open).map(feat => rowFromFeature(feat, attrs, fromSrid, reproject))
+  }
+
+  /** Streaming per-feature JsonNode iterator over one FeatureCollection —
+    * the shared core of [[parseRowsStream]] and the DataSource V2 scan
+    * ([[graft.sources.v2.GeoJsonSource]]), so both decode features off the
+    * token stream identically (per-feature DOM, whole-file DOM never
+    * built; degenerate `features`-before-`type` ordering falls back to a
+    * DOM walk to keep reference semantics exactly). */
+  private[sources] def featureStream(
+      open: () => java.io.InputStream): Iterator[JsonNode] = {
+    import com.fasterxml.jackson.core.{JsonParser, JsonToken}
     val in = open()
     val p: JsonParser = mapper.getFactory.createParser(in)
     // idempotent close, ALSO registered as a task-completion hook: a
@@ -192,11 +205,17 @@ object GeoJsonReader {
     }
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => close()))
-    def fallbackDom(): Iterator[Row] = {
+    def fallbackDom(): Iterator[JsonNode] = {
       close()
       val src = scala.io.Source.fromInputStream(open(), "UTF-8")
       val json = try src.mkString finally src.close()
-      parseRows(json, schema, fromSrid, reproject).iterator
+      val root = mapper.readTree(json)
+      if (root.path("type").asText() != "FeatureCollection") {
+        System.err.println("[geojson] not a FeatureCollection; no rows")
+        return Iterator.empty
+      }
+      val feats = root.path("features")
+      (0 until feats.size()).iterator.map(feats.get)
     }
     if (p.nextToken() != JsonToken.START_OBJECT) {
       close()
@@ -217,18 +236,17 @@ object GeoJsonReader {
         case "features" =>
           if (!isFc) return fallbackDom() // `type` after `features`: rare, not streamable
           if (p.nextToken() != JsonToken.START_ARRAY) { close(); return Iterator.empty }
-          return new Iterator[Row] {
+          return new Iterator[JsonNode] {
             private var nextTok = p.nextToken()
             override def hasNext: Boolean = {
               val h = nextTok == JsonToken.START_OBJECT
               if (!h) close()
               h
             }
-            override def next(): Row = {
+            override def next(): JsonNode = {
               val feat: JsonNode = mapper.readTree[JsonNode](p) // ONE feature subtree
-              val row = rowFromFeature(feat, attrs, fromSrid, reproject)
               nextTok = p.nextToken()
-              row
+              feat
             }
           }
         case _ => p.nextToken(); p.skipChildren()

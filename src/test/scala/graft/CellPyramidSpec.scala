@@ -47,6 +47,24 @@ class CellPyramidSpec extends AnyFunSuite with SparkTest {
     assert(boundary.toSet.intersect(interiorLeaves).isEmpty)
   }
 
+  test("pairRowsFor: deep boundary shell carries the polygon WKB exactly once") {
+    // a thin sliver diamond (2 degrees wide, 0.02 tall) at level 12 has a
+    // long boundary shell and little interior — the shape that amplified
+    // the old per-cell-WKB pair table
+    val wkb = WkbCodec.write(WkbCodec.diamond(10.0, 20.0, 1.0))
+    val rows = CellPyramid.pairRowsFor(7L, wkb, finest = 12, depth = 3).toSeq
+    val boundaryRows = rows.filter(!_._3)
+    assert(boundaryRows.length > 100, s"want a deep shell, got ${boundaryRows.length}")
+    val carried = rows.flatMap(r => Option(r._4))
+    assert(carried.length === 1, "WKB must ride along exactly once per polygon")
+    assert(carried.head.sameElements(wkb))
+    assert(rows.filter(_._3).forall(_._4 == null), "interior rows never carry WKB")
+    // pair set identical to classify's
+    val (in, bd) = CellPyramid.classify(wkb, finest = 12, depth = 3)
+    assert(rows.filter(_._3).map(_._2) === in)
+    assert(boundaryRows.map(_._2) === bd)
+  }
+
   test("updateWith: incremental fold of an appended batch == full rebuild") {
     val all = pts(2400)
     val base = all.filter(col("id") % 3 =!= 0)

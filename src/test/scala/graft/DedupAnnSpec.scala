@@ -478,6 +478,39 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(empty.count() === 0)
   }
 
+  test("recall floors hold with margin (q76 IVF, q77 cosine) and indicator is all-ones") {
+    // planted-neighborhood corpus: the contract is decidable there (the
+    // exact top-5 IS the planted copy set) — on the raw isotropic table the
+    // per-query minimum is 0 regardless of implementation (see
+    // Ann.plantedCorpus scaladoc); this test re-measures the margin per SF
+    val emb = Ann.plantedCorpus(
+      spark.read.parquet(s"$Sf/embeddings.parquet"), qmod = 20, copies = 5)
+    val exact = Ann.topKBlocked(emb, k = 5, qmod = 20)
+    def minRecall(approx: org.apache.spark.sql.DataFrame): Long =
+      exact.select(col("query_id"), col("nn_id"))
+        .join(approx.select(col("query_id"), col("nn_id"), lit(1L).as("hit")),
+          Seq("query_id", "nn_id"), "left_outer")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))) * 100L / count(lit(1L)))
+          .cast("long").as("r"))
+        .agg(min(col("r"))).head().getLong(0)
+    val ivfMin = minRecall(Ann.topKIvf(emb, k = 5, qmod = 20))
+    val cosMin = minRecall(Ann.cosineTopK(emb, k = 5, qmod = 20))
+    info(s"measured min recall@5: ivf=$ivfMin% (floor ${SparkEntry.IvfRecallFloorPct}), " +
+      s"cosine=$cosMin% (floor ${SparkEntry.CosineRecallFloorPct})")
+    // the published floors must hold with >= 20 points of margin so a data
+    // regeneration can't flip the hash-checked q76/q77 contracts
+    assert(ivfMin >= SparkEntry.IvfRecallFloorPct + 20)
+    assert(cosMin >= SparkEntry.CosineRecallFloorPct + 20)
+    // and the shipped query outputs are exactly the all-ones oracle tables
+    val q76 = Ann.recallAtK(Ann.topKIvf(emb, k = 5, qmod = 20), exact,
+      SparkEntry.IvfRecallFloorPct)
+    val q77 = Ann.recallAtK(Ann.cosineTopK(emb, k = 5, qmod = 20), exact,
+      SparkEntry.CosineRecallFloorPct)
+    assert(q76.filter(col(s"recall_ge_${SparkEntry.IvfRecallFloorPct}") =!= 1L).isEmpty)
+    assert(q77.filter(col(s"recall_ge_${SparkEntry.CosineRecallFloorPct}") =!= 1L).isEmpty)
+  }
+
   test("PII redaction: emails/IPs/phones replaced with placeholders, counts audit") {
     import spark.implicits._
     val d = Seq(

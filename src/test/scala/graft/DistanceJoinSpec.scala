@@ -87,6 +87,70 @@ class DistanceJoinSpec extends AnyFunSuite with SparkTest {
     assert(got === Set((1L, 1L), (2L, 2L)))
   }
 
+  test("q61 boundary margin: no synthetic pair sits within 1e6 ulps of the 120 km threshold") {
+    // The q61 oracle compares Spark's sin/cos haversine term against
+    // DuckDB's at `hv <= havA`. Unlike the planar layers (engineered
+    // 0.025-degree polygon-boundary gap) the geodesic threshold has no
+    // built-in gap, so a pair landing within an ulp of havA could flip the
+    // hash across math libraries. This test MEASURES the margin on the
+    // actual q61 inputs: min |hv - havA| over all ents x pois pairs must
+    // exceed 1e6 ulps of havA — ~6 decimal orders beyond any conceivable
+    // cross-library sin/cos divergence (last-ulp each, ~a dozen ops).
+    val meters = 120000.0 // must match SparkEntry q61
+    val a = meters / DistanceJoin.EarthRadiusM
+    val havA = { val s = math.sin(a / 2); s * s }
+    val e = Pipeline.entities(spark, Sf).select(col("lon").as("lx"), col("lat").as("ly"))
+    val p = graft.sources.Layers.pois(spark, Sf).select(col("px"), col("py"))
+    val hv = pow(sin(radians(col("ly") - col("py")) / 2), 2) +
+      cos(radians(col("ly"))) * cos(radians(col("py"))) *
+        pow(sin(radians(col("lx") - col("px")) / 2), 2)
+    val minGap = e.crossJoin(p).select(min(abs(hv - lit(havA))).as("g"))
+      .collect()(0).getDouble(0)
+    val ulps = minGap / java.lang.Math.ulp(havA)
+    info(f"q61 min |hv - havA| = $minGap%.3e = $ulps%.1e ulps of havA")
+    assert(ulps > 1e6, f"pair within $ulps%.0f ulps of the q61 threshold")
+  }
+
+  test("geodesic dwithin at the pole: lat in [85, 90) x lon wrap == brute force") {
+    // pins the polar cutoff + cos(lat) widening (DistanceJoin.scala
+    // reachDeg): poleward of the cutoff the whole x row must be probed —
+    // across-the-pole pairs have huge lon deltas at tiny distances. Every
+    // point is poleward of 85 deg; half hug the antimeridian.
+    import spark.implicits._
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val sdLat = math.sin(math.toRadians(lat1 - lat2) / 2)
+      val sdLon = math.sin(math.toRadians(lon1 - lon2) / 2)
+      sdLat * sdLat +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * sdLon * sdLon
+    }
+    val rnd = new scala.util.Random(77)
+    def polarLat() = 85.0 + rnd.nextDouble() * 4.999999
+    def lonAt(j: Int) =
+      if (j % 2 == 0) { val d = rnd.nextDouble() * 0.5 - 0.25
+        if (d < 0) -180.0 - d else 180.0 - d }
+      else rnd.nextDouble() * 360.0 - 180.0
+    val lpts = (1 to 250).map(i => (i.toLong, lonAt(i), polarLat())) ++
+      Seq((9001L, 0.0, 89.9999), (9002L, 179.99, 89.999), (9003L, -179.99, 89.999))
+    val rpts = (1 to 250).map(i => (i.toLong, lonAt(i + 1), polarLat())) ++
+      Seq((9001L, -180.0, 89.9999), (9002L, 90.0, 89.99))
+    val left = lpts.toDF("lid", "lx", "ly")
+    val right = rpts.toDF("rid", "rx", "ry")
+    for (meters <- Seq(5000.0, 120000.0, 600000.0)) {
+      val a = meters / DistanceJoin.EarthRadiusM
+      val havA = { val s = math.sin(a / 2); s * s }
+      val got = DistanceJoin.dwithinGeodesic(left, "lx", "ly", right, "rx", "ry", meters)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === got.distinct.size, s"meters=$meters duplicate pairs")
+      val brute = for {
+        (lid, lx, ly) <- lpts
+        (rid, rx, ry) <- rpts
+        if hav(ly, lx, ry, rx) <= havA
+      } yield (lid, rid)
+      assert(got.toSet === brute.toSet, s"meters=$meters: " +
+        s"missing=${(brute.toSet -- got).take(5)} extra=${(got.toSet -- brute.toSet).take(5)}")
+    }
+  }
+
   test("dwithin keeps points at the world edge (clamped cells)") {
     import spark.implicits._
     val l = Seq((1L, -179.99, -89.99), (2L, 179.99, 89.99)).toDF("lid", "lx", "ly")

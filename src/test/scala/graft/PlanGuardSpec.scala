@@ -121,6 +121,26 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q14 salted-shuffle PIP: no ScalaUDF in the refine path") {
+    // the prepared-contains refine is a native Expression
+    // (GeoExpressions.PreparedContainsExpr); a ScalaUDF reappearing here
+    // means CatalystTypeConverters boxing of the WKB per candidate pair
+    val df = SparkEntry.queries("q14_pip_join_salted")(spark, Sf)
+    val hasNative = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[graft.ops.PreparedContainsExpr])))
+    assert(hasNative, "q14 refine must be the native PreparedContainsExpr")
+    // dim-side UDFs (polygon synth, cover-cell explode) run once per
+    // POLYGON and are fine; what must never come back is a ScalaUDF over
+    // the point-side columns — that's a per-candidate-pair boxing cost
+    val pairUdfs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+            if u.references.exists(a => a.name == "lon" || a.name == "lat") => u.toString
+      })
+    }.flatten
+    assert(pairUdfs.isEmpty, s"ScalaUDF over point columns in q14 plan: $pairUdfs")
+  }
+
   test("q11 passthrough: the text column never enters an exchange") {
     // the north rule's byte-identical text must ride for free — matching is
     // done on (url, coords) and pages are LEFT SEMI joined on url, so no

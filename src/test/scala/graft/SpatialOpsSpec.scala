@@ -134,6 +134,43 @@ class SpatialOpsSpec extends AnyFunSuite with SparkTest {
     assert(differs, "expected planar and geodesic neighbor sets to differ")
   }
 
+  test("geodesic kNN at the pole: lat in [85, 90) x lon wrap, exact vs brute force") {
+    // pins the termination bound where cos(lat) -> 0 (KnnJoin.scala lonAng
+    // cross-track term): at lat 89.99 the lon-edge bound collapses toward 0
+    // so rings must keep expanding in x (often wrapping the full circle)
+    // before the lat-edge bound alone can justify stopping. 400 POIs + 200
+    // probes, ALL poleward of 85 deg, many hugging +-180.
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val sdLat = math.sin(math.toRadians(lat1 - lat2) / 2)
+      val sdLon = math.sin(math.toRadians(lon1 - lon2) / 2)
+      sdLat * sdLat +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * sdLon * sdLon
+    }
+    val rnd = new scala.util.Random(1234)
+    def polarLat() = 85.0 + rnd.nextDouble() * 4.999999 // [85, 90)
+    def anyLon() = rnd.nextDouble() * 360.0 - 180.0
+    def wrapLon() = { val d = rnd.nextDouble() * 0.4 - 0.2 // hugging +-180
+      if (d < 0) -180.0 - d else 180.0 - d }
+    val pts = Array.tabulate(400) { i =>
+      val lon = if (i % 3 == 0) wrapLon() else anyLon()
+      (lon, polarLat())
+    } ++ Array((0.0, 89.9999), (180.0 - 1e-7, 89.999), (-179.999999, 89.99))
+    val ids = pts.indices.map(i => (i + 1).toLong).toArray
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    for (level <- Seq(4, 6, 9)) {
+      val grid = new PoiGrid(level, ids, xs, ys, geodesic = true)
+      val probes = (0 until 200).map { j =>
+        (if (j % 2 == 0) wrapLon() else anyLon(), polarLat())
+      } ++ Seq((179.9999, 89.999999), (-180.0, 89.95), (0.0, 89.999999))
+      for ((px, py) <- probes; k <- Seq(1, 4, 9)) {
+        val brute = ids.indices.map(i => (hav(py, px, ys(i), xs(i)), ids(i)))
+          .sorted.take(k).map(_._2)
+        assert(grid.knn(px, py, k).toSeq === brute,
+          s"level=$level probe ($px,$py) k=$k")
+      }
+    }
+  }
+
   test("broadcastKnn DataFrame op matches PoiGrid") {
     import spark.implicits._
     val ents = Pipeline.entities(spark, Sf).limit(50)
