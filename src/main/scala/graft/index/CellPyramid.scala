@@ -159,46 +159,64 @@ object CellPyramid {
   /** Exact per-polygon point counts answered from the pyramid + a boundary
     * refine. `polygons` = (poly_id, geom WKB) dim; output
     * (poly_id, n_points), polygons with zero points omitted (inner-join
-    * semantics, mirroring the oracle's plain JOIN..GROUP BY). */
+    * semantics, mirroring the oracle's plain JOIN..GROUP BY).
+    *
+    * @param broadcastPairLimit pair-table rows past which the probes run
+    *   as shuffle equi-joins on the cell key (specs pass 0 to force the
+    *   scale path; results are limit-invariant). */
   def polygonCounts(spark: SparkSession, pyramid: DataFrame,
                     points: DataFrame, lonCol: String, latCol: String,
-                    polygons: DataFrame, finest: Int, depth: Int): DataFrame = {
+                    polygons: DataFrame, finest: Int, depth: Int,
+                    broadcastPairLimit: Long = BroadcastPairLimit): DataFrame = {
     import spark.implicits._
     // classification runs ON EXECUTORS (flatMap over the polygon dim):
     // the quadtree descent is the query's dominant CPU cost and must not
     // serialize on the driver — a real polygon layer can be millions of
-    // rows. The pair table is then collected ONCE (bare 16-byte pairs +
-    // one WKB per polygon, NOT per boundary cell): both consumers are
-    // probe joins over it, and the broadcast variants collect their child
-    // to the driver anyway — and unlike a localCheckpoint this pins no
-    // block-manager blocks for the session lifetime
-    val pairRows = polygons.select(col("poly_id"), col("geom"))
+    // rows. The pair table NEVER funnels through the driver as a whole:
+    // it materializes once as executor blocks (eager localCheckpoint —
+    // classify runs exactly once; the counts below read block stats), the
+    // broadcast-vs-shuffle decision is made on counts alone, and only the
+    // one-WKB-per-polygon slice is ever collected (for the broadcast-map
+    // refine, below the limit)
+    val pairs = polygons.select(col("poly_id"), col("geom"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, wkb) => pairRowsFor(id, wkb, finest, depth) }
-      .collect()
-    val interiorPairs = pairRows.collect { case (id, c, true, _) => (id, c) }
-    val boundaryPairs = pairRows.collect { case (id, c, false, _) => (id, c) }
-    // one WKB per boundary polygon, shared by all its cells' refines via a
-    // broadcast VARIABLE (torrent-distributed once per executor), never a
-    // per-pair join column
-    val wkbByPoly = spark.sparkContext.broadcast(
-      pairRows.collect { case (id, _, false, w) if w != null => (id, w) }.toMap)
-    def maybeBroadcast(df: DataFrame, n: Int): DataFrame =
-      if (n <= BroadcastPairLimit) broadcast(df) else df
+      .toDF("poly_id", "cell", "interior", "wkb")
+      .localCheckpoint()
+    val interiorPairs = pairs.filter(col("interior")).select("poly_id", "cell")
+    val boundaryPairs = pairs.filter(!col("interior")).select("poly_id", "cell")
+    val nInterior = interiorPairs.count()
+    val nBoundary = boundaryPairs.count()
+    def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastPairLimit) broadcast(df) else df
     val interiorCounts = pyramid
-      .join(maybeBroadcast(interiorPairs.toSeq.toDF("poly_id", "cell"),
-        interiorPairs.length), Seq("cell"))
+      .join(maybeBroadcast(interiorPairs, nInterior), Seq("cell"))
       .groupBy("poly_id").agg(sum("cnt").as("n"))
     // boundary refine: equi-join on the finest cell, then the SAME native
-    // prepared-geometry contains as the PIP join's shuffle refine; the
-    // polygon bytes come from the broadcast map, keyed by poly_id
-    val boundaryCounts = points
+    // prepared-geometry contains as the PIP join's shuffle refine
+    val ptsCells = points
       .withColumn("cell", cellCol(col(lonCol), col(latCol), finest))
-      .join(maybeBroadcast(boundaryPairs.toSeq.toDF("poly_id", "cell"),
-        boundaryPairs.length), Seq("cell"))
-      .filter(graft.ops.GeoExpressions.preparedContainsBc(
-        col("poly_id"), col(lonCol), col(latCol), wkbByPoly))
-      .groupBy("poly_id").agg(count(lit(1)).as("n"))
+    val wkbRows = pairs.filter(col("wkb").isNotNull).select("poly_id", "wkb")
+    val boundaryCounts = (if (nBoundary <= broadcastPairLimit) {
+      // dim-sized shell: bare (poly, cell) pairs broadcast into the probe;
+      // the polygon bytes ride ONCE per polygon in a broadcast VARIABLE
+      // (torrent-distributed per executor), keyed by poly_id in the refine
+      val wkbByPoly = spark.sparkContext.broadcast(
+        wkbRows.as[(Long, Array[Byte])].collect().toMap)
+      ptsCells.join(broadcast(boundaryPairs), Seq("cell"))
+        .filter(graft.ops.GeoExpressions.preparedContainsBc(
+          col("poly_id"), col(lonCol), col(latCol), wkbByPoly))
+    } else {
+      // scale path — NOTHING through the driver: reattach the WKB with an
+      // equi-join on poly_id (one WKB row per polygon; the per-cell
+      // re-expansion happens executor-side inside the exchange, the shape
+      // every distributed spatial join pays), then shuffle equi-join on
+      // the cell key and refine with the join-column variant
+      val withWkb = boundaryPairs.join(wkbRows, Seq("poly_id"))
+      ptsCells.join(withWkb, Seq("cell"))
+        .filter(graft.ops.GeoExpressions.preparedContains(
+          col("poly_id"), col("wkb"), col(lonCol), col(latCol)))
+    }).groupBy("poly_id").agg(count(lit(1)).as("n"))
     interiorCounts.unionAll(boundaryCounts)
       .groupBy("poly_id").agg(sum("n").as("n_points"))
   }

@@ -49,8 +49,23 @@ object Dedup {
     val indexed = sorted.rdd
       .map(_.getString(0))
       .zipWithIndex().map { case (k, i) => (k, i + 1) }
-    spark.createDataFrame(indexed).toDF(key, "tid")
+    // eager localCheckpoint: the dictionary materializes ONCE (an
+    // un-cached RDD would replay distinct+sort+zipWithIndex per consumer)
+    // and the count below reads block sizes instead of recomputing
+    val df = spark.createDataFrame(indexed).toDF(key, "tid").localCheckpoint()
+    // The id join's probe side is the exploded (doc, token) stream — the
+    // widest intermediate of the whole dedup suite. A dictionary that fits
+    // an executor broadcasts (the stream never enters an exchange; without
+    // the hint Catalyst can't pick it — an RDD-backed plan has no size
+    // stats, so it defaults to Long.Max and always shuffle-joins). Past
+    // the limit it falls back to the shuffle join: a 10^9-entry vocabulary
+    // is not a dim and must range-partition.
+    if (df.count() <= BroadcastVocabLimit) broadcast(df) else df
   }
+
+  /** Max dictionary entries to broadcast in [[denseIds]] (~100 MB of short
+    * token strings — well under the executor broadcast comfort zone). */
+  val BroadcastVocabLimit: Long = 2000000L
 
   /** Oracle-parity vocab: tok -> dense 1-based rank in sorted order. */
   def vocab(tokens: DataFrame): DataFrame = denseIds(tokens, "tok")

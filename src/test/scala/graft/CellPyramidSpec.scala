@@ -101,5 +101,15 @@ class CellPyramidSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+
+    // scale path (broadcastPairLimit = 0): probes become shuffle
+    // equi-joins, the WKB reattaches via an equi-join on poly_id, and the
+    // driver collects NOTHING — results must be limit-invariant
+    val scaled = CellPyramid.polygonCounts(spark, pyr, p, "lon", "lat", polyDf,
+      finest = 10, depth = 3, broadcastPairLimit = 0L)
+    assert(scaled.as[(Long, Long)].collect().toMap === want)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    assert(!scaledPlan.contains("CartesianProduct"), s"plan:\n$scaledPlan")
+    assert(!scaledPlan.contains("BroadcastNestedLoopJoin"), s"plan:\n$scaledPlan")
   }
 }

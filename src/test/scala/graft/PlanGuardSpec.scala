@@ -73,6 +73,47 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
     assert(graft.ops.Dedup.jaccardPairs(small, maxShingleFreq = None).count() === 66L)
   }
 
+  test("parity vocab id join broadcasts when the dictionary is small") {
+    import spark.implicits._
+    // the exploded (doc, token) stream is the widest intermediate of the
+    // dedup suite; with a small dictionary the id join must be a broadcast
+    // hash join (the stream never enters an exchange keyed on strings).
+    // denseIds is RDD-backed — without the explicit hint Catalyst has no
+    // size stats and always picks a shuffle join.
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta w$i x${i % 7} y${i % 3}"))
+      .toDF("doc_id", "text")
+    // the minhash sig stage localCheckpoints before bandPairs (hiding its
+    // lineage from the q21 plan), so assert on the id-join subplan itself
+    // (the exact shape minhashPairs builds) plus the end-to-end simhash
+    // plan, where the join is visible
+    val sh = graft.ops.Dedup.shingled(docs)
+    val idJoin = sh.join(graft.ops.Dedup.shVocab(sh), "sh")
+    for (df <- Seq(idJoin, graft.ops.Dedup.simhash(docs))) {
+      df.count()
+      val stringShuffleJoins = physical(df).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType) => j.nodeName
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.leftKeys.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType) => j.nodeName
+      }
+      assert(stringShuffleJoins.isEmpty,
+        s"vocab id join shuffled on token strings: $stringShuffleJoins")
+      val bhj = physical(df).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.leftKeys.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType) => j.nodeName
+      }
+      assert(bhj.nonEmpty, "small dictionary must broadcast into the id join")
+    }
+    // past the limit the fallback is the shuffle join (a 10^9-entry vocab
+    // is not a dim) — exercised with a temporarily tiny limit is not
+    // possible (val), so assert the guard constant is sane instead
+    assert(graft.ops.Dedup.BroadcastVocabLimit >= 1000000L)
+  }
+
   test("prod minhash signature stage is exchange-free (row-local, no explode)") {
     import spark.implicits._
     val docs = (0 until 8).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
