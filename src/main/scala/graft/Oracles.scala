@@ -177,6 +177,19 @@ object Oracles {
          | (SELECT ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s GROUP BY cx, cy"""
         .stripMargin.replace("\n", " "),
 
+    "q80_quadkey" ->
+      s"""WITH $entsCte SELECT url, ent_idx,
+         | ${graft.ops.TileAssign.quadkeySql(
+               graft.ops.TileAssign.tileXSql(eLon, Pipeline.TileZ),
+               graft.ops.TileAssign.tileYSql(eLat, Pipeline.TileZ),
+               Pipeline.TileZ)} AS quadkey
+         | FROM ents e""".stripMargin.replace("\n", " "),
+
+    "q81_focal_sum" ->
+      s"""WITH $entsCte, cnt AS (SELECT cx, cy, count(*) AS n FROM
+         | (SELECT ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s GROUP BY cx, cy)
+         | ${graft.ops.Raster.focalSumSql()}""".stripMargin.replace("\n", " "),
+
     "q53_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS view_id
         | FROM (SELECT * FROM events WHERE event_type = 'click') l

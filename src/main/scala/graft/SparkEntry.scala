@@ -197,6 +197,23 @@ object SparkEntry {
       ents(s, dir).select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
         .groupBy("cx", "cy").agg(count(lit(1)).as("n"))),
 
+    // Bing-style quadkey tile address: prefix-encoded containment (a
+    // tile's key prefixes all its descendants'), the standard string key
+    // for tile caches / prefix-range scans — pure bit math, no UDF
+    "q80_quadkey" -> ((s, dir) =>
+      TileAssign.assign(ents(s, dir), Pipeline.TileZ)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+          TileAssign.quadkey(col("tile_x"), col("tile_y"), Pipeline.TileZ)
+            .as("quadkey"))),
+
+    // focal (3x3 neighborhood) sum over the level-6 cell-count raster —
+    // raster-algebra smoothing with NO join: map-side explode by the
+    // window, one partial-aggregating groupBy on the target cell
+    "q81_focal_sum" -> ((s, dir) =>
+      Raster.focalSum(
+        ents(s, dir).select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
+          .groupBy("cx", "cy").agg(count(lit(1)).as("n")))),
+
     // hot-domain skew profile: per-domain frequency + salt factor
     "q46_domain_salt" -> ((s, dir) =>
       SkewProfile.domainProfile(WebPagesSynth.pages(s, dir), cap = 50)),

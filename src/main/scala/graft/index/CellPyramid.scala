@@ -85,6 +85,42 @@ object CellPyramid {
     else pyramid.unionAll(build(newPoints, lonCol, latCol, finest, depth))
       .groupBy("cell").agg(sum("cnt").as("cnt"))
 
+  /** Maintain a pyramid off a [[graft.table.TableLog]] snapshot chain,
+    * auto-detecting whether the chain stayed APPEND-ONLY since
+    * `fromVersion`: if every bucket of the old snapshot survives into the
+    * current one, the appended buckets fold in additively
+    * ([[updateWith]] — batch scanned once, base never rebuilt); if any
+    * old bucket path disappeared (overwrite / MERGE / compaction /
+    * expiry rewrote it), `readChanges` would re-deliver carried-forward
+    * rows and additive folding would double-count, so the pyramid
+    * rebuilds from the rewritten snapshot instead. This packages the
+    * rebuild-on-rewrite rule [[updateWith]]'s contract leaves to the
+    * caller. Returns (pyramid, version to resume from). */
+  def maintain(spark: SparkSession, table: String, pyramid: DataFrame,
+               fromVersion: Long, lonCol: String, latCol: String,
+               finest: Int, depth: Int): (DataFrame, Long) = {
+    import graft.table.TableLog
+    val to = TableLog.current(table).getOrElse(
+      throw new IllegalStateException(s"no snapshot: $table"))
+    if (to.snapshot == fromVersion) return (pyramid, fromVersion)
+    val fromPaths = TableLog.snapshotAt(table, fromVersion)
+      .map(_.buckets.values.map(_.path).toSet)
+      .getOrElse(if (fromVersion == 0L) Set.empty[String]
+                 else throw new IllegalStateException(s"no snapshot v$fromVersion: $table"))
+    val toPaths = to.buckets.values.map(_.path).toSet
+    val appendOnly = fromPaths.subsetOf(toPaths)
+    val next =
+      if (!appendOnly)
+        build(TableLog.read(spark, table), lonCol, latCol, finest, depth)
+      else if (pyramid.columns.isEmpty) // bootstrap: no pyramid yet
+        build(TableLog.readChanges(spark, table, fromVersion, to.snapshot),
+          lonCol, latCol, finest, depth)
+      else
+        updateWith(pyramid, TableLog.readChanges(spark, table, fromVersion, to.snapshot),
+          lonCol, latCol, finest, depth)
+    (next, to.snapshot)
+  }
+
   /** DuckDB replica of a full pyramid build over a point source `src`
     * exposing lon/lat SQL expressions — one histogram per level, UNION ALL,
     * ids packed with the same (level<<58 | x<<29 | y) layout. */

@@ -69,6 +69,42 @@ object Raster {
       .agg(count(lit(1)).as("n_pixels"), sum(col("v")).as("zonal_sum"),
         min(col("v")).as("zonal_min"), max(col("v")).as("zonal_max"))
 
+  /** Focal (neighborhood) statistics over a sparse cell-count raster —
+    * the classic raster-algebra smoothing/hotspot kernel: for every cell
+    * touched by a (2r+1)×(2r+1) window around any occupied cell, the sum
+    * of counts in its window. Sparse semantics: absent cells contribute 0
+    * and appear in the OUTPUT only when their window overlaps an occupied
+    * cell — no dense grid ever materializes.
+    *
+    * 100 TB shape: a map-side explode by the constant window size (9 for
+    * r=1) followed by one partial-aggregating groupBy on the target cell
+    * key. NO join anywhere — the standard "shift and add" formulation —
+    * so the only exchange is the final count shuffle, already collapsed
+    * by map-side combine to one row per (partition, cell). */
+  def focalSum(counts: DataFrame, radius: Int = 1, gridMax: Long = 63L): DataFrame = {
+    val offs = typedLit((-radius to radius).map(_.toLong))
+    counts
+      .withColumn("dx", explode(offs))
+      .withColumn("dy", explode(offs))
+      .select((col("cx") + col("dx")).as("fx"), (col("cy") + col("dy")).as("fy"), col("n"))
+      .filter(col("fx") >= 0L && col("fx") <= gridMax &&
+              col("fy") >= 0L && col("fy") <= gridMax)
+      .groupBy("fx", "fy").agg(sum("n").as("focal_sum"))
+  }
+
+  /** DuckDB replica of [[focalSum]] over a `counts(cx, cy, n)` relation
+    * named `cnt`: the two explodes are a cross join with two 3-row
+    * unnest relations — integer-exact end to end. */
+  def focalSumSql(radius: Int = 1, gridMax: Long = 63L): String = {
+    val offs = (-radius to radius).mkString("[", ", ", "]")
+    s"""SELECT c.cx + o1.dx AS fx, c.cy + o2.dy AS fy,
+       | CAST(sum(c.n) AS BIGINT) AS focal_sum
+       | FROM cnt c, (SELECT unnest($offs) AS dx) o1, (SELECT unnest($offs) AS dy) o2
+       | WHERE c.cx + o1.dx >= 0 AND c.cx + o1.dx <= $gridMax
+       |   AND c.cy + o2.dy >= 0 AND c.cy + o2.dy <= $gridMax
+       | GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB CTE for the covered-pixel set over a `polys(poly_id, cx, cy, r)`
     * relation: two-level unnest(generate_series) mirrors the sequence/
     * explode pair, with the identical bound arithmetic and containment

@@ -31,6 +31,29 @@ object TileAssign {
       .withColumn("tile_x", tileX(col("lon"), z))
       .withColumn("tile_y", tileY(col("lat"), z))
 
+  /** Bing-maps quadkey for a (tile_x, tile_y) at zoom `z`: digit i
+    * (1-based, most-significant first) = x-bit + 2*y-bit at position
+    * z-i — the string tile address whose PREFIX relation encodes tile
+    * containment (a tile's quadkey is a prefix of all its descendants'),
+    * which is what makes it the standard key for tile caches and
+    * prefix-range scans over tile stores. Pure integer bit math inside
+    * `transform(sequence(...))` — codegen, no UDF (ShiftRight built
+    * directly: the Scala functions API only exposes a literal shift). */
+  def quadkey(tileX: Column, tileY: Column, z: Int): Column = {
+    import org.apache.spark.sql.{GraftShim => E}
+    import org.apache.spark.sql.catalyst.expressions.ShiftRight
+    def bit(c: Column, sh: Column): Column =
+      E.column(ShiftRight(E.expression(c), E.expression(sh))).bitwiseAND(lit(1L))
+    concat_ws("", transform(sequence(lit(1), lit(z)), i =>
+      (bit(tileX, lit(z) - i) + lit(2L) * bit(tileY, lit(z) - i)).cast("string")))
+  }
+
+  /** DuckDB replica of [[quadkey]] over tile-coordinate SQL fragments. */
+  def quadkeySql(tileX: String, tileY: String, z: Int): String =
+    s"""array_to_string(list_transform(range(1, $z + 1), i ->
+       | CAST((($tileX >> ($z - i)) & 1) + 2 * (($tileY >> ($z - i)) & 1) AS VARCHAR)), '')"""
+      .stripMargin.replace("\n", " ")
+
   /** Matching DuckDB SQL fragments (same op sequence). */
   def tileXSql(lon: String, z: Int): String = {
     val n = (1L << z).toDouble

@@ -77,6 +77,47 @@ class CellPyramidSpec extends AnyFunSuite with SparkTest {
     assert(inc.toSeq === full.toSeq)
   }
 
+  test("maintain: folds appends, rebuilds after a rewrite — always == full rebuild") {
+    import graft.table.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("pyr_maintain")
+    val table = dir.toString + "/t"
+    val all = pts(1800)
+    def pyrOf(df: org.apache.spark.sql.DataFrame) =
+      CellPyramid.build(df, "lon", "lat", 10, 2)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    try {
+      // v1: base
+      TableLog.write(all.filter(col("id") % 3 === 1).select("lon", "lat"), table, "fail")
+      val (p1, v1) = CellPyramid.maintain(spark, table, spark.emptyDataFrame,
+        0L, "lon", "lat", 10, 2)
+      assert(v1 === 1L)
+      // v2: append -> additive fold (and the fold really was incremental:
+      // the old bucket set survives, so appendOnly held)
+      TableLog.write(all.filter(col("id") % 3 === 2).select("lon", "lat"), table, "append")
+      val (p2, v2) = CellPyramid.maintain(spark, table, p1, v1, "lon", "lat", 10, 2)
+      assert(v2 === 2L)
+      assert(sortedRows(p2) ===
+        sortedRows(pyrOf(TableLog.read(spark, table))))
+      // same version: no-op, same frame back
+      val (p2b, v2b) = CellPyramid.maintain(spark, table, p2, v2, "lon", "lat", 10, 2)
+      assert(v2b === v2 && (p2b eq p2))
+      // v3: OVERWRITE (rewrite — old buckets gone) -> must rebuild, not fold
+      TableLog.write(all.filter(col("id") % 3 === 0).select("lon", "lat"),
+        table, "overwrite")
+      val (p3, v3) = CellPyramid.maintain(spark, table, p2, v2, "lon", "lat", 10, 2)
+      assert(v3 === 3L)
+      assert(sortedRows(p3) ===
+        sortedRows(pyrOf(all.filter(col("id") % 3 === 0).select("lon", "lat"))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("polygonCounts == brute-force pip count (inner-join semantics)") {
     import spark.implicits._
     val p = pts(3000)

@@ -46,6 +46,58 @@ class SpatialOpsSpec extends AnyFunSuite with SparkTest {
     polys.unpersist()
   }
 
+  test("quadkey: matches the reference bit-interleave; prefix property holds") {
+    import spark.implicits._
+    // reference implementation straight from the Bing tile-system spec
+    def ref(x: Long, y: Long, z: Int): String =
+      (1 to z).map { i =>
+        val mask = 1L << (z - i)
+        (if ((x & mask) != 0) 1 else 0) + (if ((y & mask) != 0) 2 else 0)
+      }.mkString
+    val z = 8
+    val tiles = (0 until 300).map { i =>
+      (((i * 7919) % 256).toLong, ((i * 104729) % 256).toLong)
+    } ++ Seq((0L, 0L), (255L, 255L), (0L, 255L), (255L, 0L))
+    val got = tiles.toDF("tile_x", "tile_y")
+      .select(col("tile_x"), col("tile_y"),
+        graft.ops.TileAssign.quadkey(col("tile_x"), col("tile_y"), z).as("qk"))
+      .as[(Long, Long, String)].collect()
+    got.foreach { case (x, y, qk) =>
+      assert(qk === ref(x, y, z), s"tile ($x, $y)")
+      assert(qk.length === z)
+    }
+    // containment-as-prefix: the parent tile's key prefixes the child's
+    val parent = graft.ops.TileAssign.quadkey(col("tile_x"), col("tile_y"), z - 1)
+    val children = tiles.toDF("cx0", "cy0")
+      .select((col("cx0") * 2 + 1).as("tile_x"), (col("cy0") * 2).as("tile_y"),
+        graft.ops.TileAssign.quadkey(col("cx0"), col("cy0"), z - 1).as("pqk"))
+      .filter(col("tile_x") < 256 && col("tile_y") < 256)
+      .select(col("pqk"),
+        graft.ops.TileAssign.quadkey(col("tile_x"), col("tile_y"), z).as("cqk"))
+      .as[(String, String)].collect()
+    assert(children.nonEmpty)
+    children.foreach { case (pqk, cqk) => assert(cqk.startsWith(pqk)) }
+  }
+
+  test("focalSum == dense brute-force window sum (sparse cells, grid edges)") {
+    import spark.implicits._
+    val gridMax = 15L
+    val cells = Seq((0L, 0L, 3L), (0L, 1L, 2L), (1L, 0L, 5L), (5L, 5L, 7L),
+      (6L, 6L, 1L), (15L, 15L, 4L), (14L, 15L, 2L), (10L, 3L, 9L))
+    val got = graft.ops.Raster.focalSum(
+      cells.toDF("cx", "cy", "n"), radius = 1, gridMax = gridMax)
+      .as[(Long, Long, Long)].collect().map { case (x, y, s) => ((x, y), s) }.toMap
+    val dense = cells.map { case (x, y, n) => ((x, y), n) }.toMap
+    for (fx <- 0L to gridMax; fy <- 0L to gridMax) {
+      val want = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+        yield dense.getOrElse((fx + dx, fy + dy), 0L)).sum
+      val touches = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+        yield dense.contains((fx + dx, fy + dy))).exists(identity)
+      if (touches) assert(got((fx, fy)) === want, s"cell ($fx, $fy)")
+      else assert(!got.contains((fx, fy)), s"cell ($fx, $fy) should be absent (sparse)")
+    }
+  }
+
   test("CoverIndex.containing == brute-force JTS contains") {
     val polys = (1 to 50).map { i =>
       val cx = deterministic(i, 3600) - 90.0
