@@ -330,15 +330,25 @@ object Bench {
     }
 
     // --- denoising passes over the per-query timings (post-scaling) ---
-    // gate on the MEASURED cost of the last pass (x1.25 margin) plus
-    // reserve for the load phase: min-of-samples is the whole defense
-    // against co-tenant bursts, so skipping it should take real evidence
+    // per-QUERY budget gates, slowest-first: min-of-samples is the whole
+    // defense against co-tenant bursts, and a burst inflates a handful of
+    // queries by 10x (q67 once measured 52 s in pass 1 vs 4 s quiet) — so
+    // when the remaining budget can't fit a full pass, re-sampling the
+    // inflated heavy hitters first recovers most of the estimator; the
+    // old all-or-nothing pass gate skipped denoising entirely on exactly
+    // the runs that needed it most
+    val fnByName = selected.toMap
     var pass = 1
-    while (pass < samplesPerQuery && remaining > lastPassSec * 1.25 + 120) {
-      val tp = System.nanoTime()
-      passes += selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-      lastPassSec = (System.nanoTime() - tp) / 1e9
-      pass += 1
+    while (pass < samplesPerQuery && remaining > 150) {
+      val order = bestOfPasses.sortBy(-_._2).map(_._1) // slowest current best first
+      val newPass = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      order.foreach { name =>
+        val est = math.max(0.5, bestOfPasses.toMap.getOrElse(name, 1.0))
+        if (remaining > est * 2 + 120)
+          newPass += name -> timeOnce(name, fnByName(name))
+      }
+      if (newPass.isEmpty) pass = samplesPerQuery // budget fits nothing further
+      else { passes += newPass.toSeq; pass += 1 }
     }
     val results = bestOfPasses
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -190,6 +190,30 @@ object Oracles {
          | (SELECT ${cellX(eLon)} AS cx, ${cellY(eLat)} AS cy FROM ents e) s GROUP BY cx, cy)
          | ${graft.ops.Raster.focalSumSql()}""".stripMargin.replace("\n", " "),
 
+    "q84_geohash" ->
+      s"""WITH $entsCte,
+         | ij AS (SELECT url, ent_idx, ${graft.ops.GeoHash.ixSql(eLon, 6)} AS ixx,
+         |   ${graft.ops.GeoHash.iySql(eLat, 6)} AS iyy FROM ents e),
+         | gg AS (SELECT url, ent_idx, ${graft.ops.GeoHash.mortonSql(6)} AS g FROM ij)
+         | SELECT url, ent_idx, ${graft.ops.GeoHash.charsSql(6)} AS geohash FROM gg"""
+        .stripMargin.replace("\n", " "),
+
+    "q82_sessionize" -> graft.ops.Sessionize.sessionizeSql(),
+
+    // plain theta join — correct by definition; the Spark side must get the
+    // same rows through the bucketed equi-join + refine
+    "q85_range_join" ->
+      """SELECT e.event_id, p.range_id FROM
+        | (SELECT event_id, (event_id * 7919) % 100000 AS pk FROM events) e JOIN
+        | (SELECT CAST(p_partkey AS BIGINT) AS range_id, (p_partkey * 104729) % 100000 AS lo,
+        |    (p_partkey * 104729) % 100000 + 5 + p_partkey % 20 AS hi FROM part) p
+        | ON e.pk >= p.lo AND e.pk < p.hi""".stripMargin.replace("\n", " "),
+
+    "q83_tfidf_topk" -> graft.ops.Retrieval.tfIdfTopKSql(k = 10, qmod = 50,
+      src = graft.ops.Retrieval.corpusSql),
+
+    "q86_pagerank" -> graft.ops.LinkGraph.pageRankSql(),
+
     "q53_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS view_id
         | FROM (SELECT * FROM events WHERE event_type = 'click') l

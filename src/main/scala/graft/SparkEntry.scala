@@ -214,6 +214,42 @@ object SparkEntry {
         ents(s, dir).select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
           .groupBy("cx", "cy").agg(count(lit(1)).as("n")))),
 
+    // geohash base-32 cell address (closed-form Morton interleave + alphabet
+    // lookup — pure literal-shift bit math, codegen, no UDF)
+    "q84_geohash" -> ((s, dir) =>
+      ents(s, dir).select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+        GeoHash.encode(col("lon"), col("lat"), chars = 6).as("geohash"))),
+
+    // gap-based sessionization (6 h inactivity): lag + running-sum windows
+    // share ONE partitioning (single exchange), session rollup map-side
+    "q82_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(t(s, dir, "events"))),
+
+    // interval/range containment join as a bucketed EQUI-join (Spark's
+    // native plan for `k BETWEEN lo AND hi` is the BNLJ scale-killer);
+    // closed-form synthetic intervals over part, probes over events
+    "q85_range_join" -> ((s, dir) => {
+      val probes = t(s, dir, "events")
+        .select(col("event_id"), (col("event_id") * 7919 % 100000).as("pk"))
+      val ranges = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("range_id"),
+          (col("p_partkey") * 104729 % 100000).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 5 + col("range_id") % 20)
+      RangeJoin.containsJoin(probes, "pk", ranges, "lo", "hi", bucket = 64)
+        .select("event_id", "range_id")
+    }),
+
+    // inverted-index TF-IDF retrieval over the topic-enriched corpus
+    // (integer-exact scoring, full ranking hash-checked); the BM25 scorer
+    // shares the plan shape (RetrievalSpec)
+    "q83_tfidf_topk" -> ((s, dir) =>
+      Retrieval.tfIdfTopK(Retrieval.corpus(t(s, dir, "documents")), k = 10, qmod = 50)),
+
+    // integer PageRank over the closed-form document link graph: exact
+    // BIGINT ranks (order-independent sums), 5 rounds of edge-join +
+    // partial-agg — the canonical distributed shape, fully hash-checked
+    "q86_pagerank" -> ((s, dir) => LinkGraph.docPageRank(s, dir)),
+
     // hot-domain skew profile: per-domain frequency + salt factor
     "q46_domain_salt" -> ((s, dir) =>
       SkewProfile.domainProfile(WebPagesSynth.pages(s, dir), cap = 50)),
