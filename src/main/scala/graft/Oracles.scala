@@ -214,6 +214,12 @@ object Oracles {
 
     "q86_pagerank" -> graft.ops.LinkGraph.pageRankSql(),
 
+    "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,
+      src = graft.ops.Retrieval.corpusSql),
+
+    "q89_hll_registers" -> graft.ops.Sketches.hllRegistersSql(
+      src = graft.ops.Retrieval.corpusSql),
+
     "q53_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS view_id
         | FROM (SELECT * FROM events WHERE event_type = 'click') l
@@ -362,6 +368,7 @@ object Oracles {
     "q48_video_frames" -> graft.sources.MediaSynth.videoOracleSql,
     "q49_image_pixels" -> graft.sources.MediaSynth.pixelOracleSql,
     "q50_image_resize" -> graft.sources.MediaSynth.thumbOracleSql,
+    "q87_image_ahash" -> graft.sources.MediaSynth.ahashOracleSql,
     "q46_domain_salt" -> graft.ops.SkewProfile.domainProfileSql(W.urlSql, cap = 50),
     "q26_fingerprint" -> TextStats.fingerprintsSql,
     "q35_token_count" -> TextStats.bpeTokensSql,

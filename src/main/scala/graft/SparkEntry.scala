@@ -245,6 +245,20 @@ object SparkEntry {
     "q83_tfidf_topk" -> ((s, dir) =>
       Retrieval.tfIdfTopK(Retrieval.corpus(t(s, dir, "documents")), k = 10, qmod = 50)),
 
+    // count-min sketch heavy hitters: native mergeable-sketch aggregate
+    // (one depth x width array per partition crosses the shuffle, never
+    // the keys); integer counters => the oracle replays the sketch exactly
+    // and the compare separates sketch overestimate from engine noise
+    "q88_cms_sketch" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(Retrieval.corpus(t(s, dir, "documents")), minCount = 50)),
+
+    // HyperLogLog distinct-token registers per language: integer column
+    // math + an order-independent MAX groupBy, so the sketch STATE is
+    // hash-checked cross-engine (the float harmonic-mean estimate is a
+    // spec-side derivation with a pinned accuracy band)
+    "q89_hll_registers" -> ((s, dir) =>
+      Sketches.hllRegisters(Retrieval.corpus(t(s, dir, "documents")))),
+
     // integer PageRank over the closed-form document link graph: exact
     // BIGINT ranks (order-independent sums), 5 rounds of edge-join +
     // partial-agg — the canonical distributed shape, fully hash-checked
@@ -450,6 +464,14 @@ object SparkEntry {
         .filter(col("img_ch").isNotNull)
         .select(col("doc_id"), col("img_w").as("width"), col("img_h").as("height"),
           col("pixel_sum"), col("pixel_count"))),
+    // perceptual image hash (aHash) over the REAL decoded pixels: 8x8
+    // gray thumb, bit j = cell above mean (exact integer compare) — the
+    // multimodal near-dup key; band it like simhash for pair search
+    "q87_image_ahash" -> ((s, dir) =>
+      Media.decodeImage(sources.MediaSynth.blobs(s, dir), "payload", 8, 8)
+        .filter(col("img_ch").isNotNull)
+        .select(col("doc_id"), col("thumb_ahash").as("ahash"))),
+
     // nearest-neighbor resize over the REAL decoded pixels (8x8 thumbnail);
     // oracle recomputes the sampled source indices in integer math
     "q50_image_resize" -> ((s, dir) =>

@@ -194,7 +194,8 @@ object Media {
       StructField("img_ch", LongType, nullable = true),
       StructField("pixel_sum", LongType, nullable = true),
       StructField("pixel_count", LongType, nullable = true),
-      StructField("thumb_sum", LongType, nullable = true)))
+      StructField("thumb_sum", LongType, nullable = true),
+      StructField("thumb_ahash", LongType, nullable = true)))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { it =>
       it.map { r =>
@@ -205,8 +206,8 @@ object Media {
             val thumb = PngCodec.resizeNearest(img, thumbW, thumbH)
             Seq(img.width.toLong, img.height.toLong, img.channels.toLong,
               PngCodec.pixelSum(img), img.pixels.length.toLong,
-              PngCodec.pixelSum(thumb))
-          case None => Seq(null, null, null, null, null, null)
+              PngCodec.pixelSum(thumb), PngCodec.aHash(thumb))
+          case None => Seq(null, null, null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ extra)
       }

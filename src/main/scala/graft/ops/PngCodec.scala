@@ -137,6 +137,29 @@ object PngCodec {
     s
   }
 
+  /** Average-hash (aHash) over an image of <= 64 cells (call on the 8x8
+    * thumbnail): bit j set iff cell j's gray value is above the image mean.
+    * All integer math — gray_j = channel sum, and the mean compare is
+    * ncells * gray_j > total (no division) — so the hash replays exactly
+    * in the oracle SQL. The standard perceptual key for image near-dup
+    * detection; band the 64 bits like [[Dedup.simhash]] for pair search. */
+  def aHash(img: Image): Long = {
+    val ch = img.channels
+    val n = img.width * img.height
+    require(n <= 64, s"aHash needs <= 64 cells, got $n")
+    val gray = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      var c = 0; var g = 0L
+      while (c < ch) { g += img.pixels(j * ch + c) & 0xff; c += 1 }
+      gray(j) = g; j += 1
+    }
+    val tot = gray.sum
+    var h = 0L; j = 0
+    while (j < n) { if (n * gray(j) > tot) h |= 1L << j; j += 1 }
+    h
+  }
+
   /** Test-support encoder: writes a spec-valid PNG applying the REQUESTED
     * filter type per row (`filterOf(row)`), with correct filter encoding
     * (x - predictor, mod 256) — lets the spec synthesize images that

@@ -45,7 +45,7 @@ object Retrieval {
       val tok = concat(lit(s" w${j}_"), ((col("doc_id") * TopicMult(j) + j) % TopicMod(j)).cast("string"))
       concat(tok, when((col("doc_id") + j) % 3 === 0, tok).otherwise(lit("")))
     }
-    docs.select(col("doc_id"), concat(col("text") +: frags: _*).as("text"))
+    docs.select(col("doc_id"), col("lang"), concat(col("text") +: frags: _*).as("text"))
   }
 
   /** DuckDB replica of [[corpus]], usable as a FROM item. */
@@ -54,7 +54,7 @@ object Retrieval {
       val tok = s"' w${j}_' || CAST((doc_id * ${TopicMult(j)} + $j) % ${TopicMod(j)} AS VARCHAR)"
       s"$tok || CASE WHEN (doc_id + $j) % 3 = 0 THEN $tok ELSE '' END"
     }
-    s"(SELECT doc_id, text || ${frags.mkString(" || ")} AS text FROM documents)"
+    s"(SELECT doc_id, lang, text || ${frags.mkString(" || ")} AS text FROM documents)"
   }
 
   /** Scaled-idf numerator: weight(tok) = floor(IdfScale * N / df).

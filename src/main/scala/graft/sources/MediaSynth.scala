@@ -233,6 +233,26 @@ object MediaSynth {
     * sy*(1+3w) + 1 + 3*sx + c, value ((idx*31)&127); t enumerates
     * (ty,tx,c) as t = (ty*8+tx)*3 + c. Same integer floor division both
     * engines. */
+  /** Oracle for the 8x8-thumb average hash: same per-sample value formula
+    * as [[thumbOracleSql]], grays grouped per cell j = t // 3, bit j set
+    * iff 64 * gray_j > total gray (the exact integer compare the codec
+    * runs — see PngCodec.aHash). */
+  val ahashOracleSql: String =
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+      | CAST(1 + (doc_id * 7) % 64 AS BIGINT) AS h
+      | FROM documents WHERE doc_id % 2 = 0),
+      | px AS (SELECT doc_id, w, h, unnest(generate_series(0, 191)) AS t FROM d),
+      | gray AS (SELECT doc_id, t // 3 AS j,
+      |  SUM(((((t // 24) * h // 8) * (1 + 3 * w)
+      |    + 1 + 3 * (((t // 3) % 8) * w // 8) + t % 3) * 31) & 127) AS g
+      |  FROM px GROUP BY 1, 2),
+      | tot AS (SELECT doc_id, SUM(g) AS tg FROM gray GROUP BY 1)
+      | SELECT g.doc_id,
+      |  CAST(SUM(CASE WHEN 64 * g.g <= t.tg THEN 0
+      |    WHEN g.j = 63 THEN -9223372036854775808
+      |    ELSE (CAST(1 AS BIGINT) << CAST(g.j AS INTEGER)) END) AS BIGINT) AS ahash
+      | FROM gray g JOIN tot t USING (doc_id) GROUP BY 1""".stripMargin.replace("\n", " ")
+
   val thumbOracleSql: String =
     """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
       | CAST(1 + (doc_id * 7) % 64 AS BIGINT) AS h
