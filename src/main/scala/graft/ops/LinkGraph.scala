@@ -53,7 +53,10 @@ object LinkGraph {
     * Output: (doc_id, pr) — BIGINT scaled by [[Scale]]. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(outdeg, "src")
+    // materialize the (src, dst, deg) table once: every iteration probes
+    // it, and without the cut the edge synthesis + degree groupBy replay
+    // `iters` times (lineage also stays flat across rounds)
+    val e = edges.join(outdeg, "src").localCheckpoint()
     var pr = nodes.select(col("doc_id"), lit(Scale).as("pr"))
     for (_ <- 1 to iters) {
       val sums = e.join(pr, e("src") === pr("doc_id"))

@@ -78,7 +78,9 @@ object Retrieval {
     * the top-k other docs by sum(tf_doc * idf_weight) over shared tokens,
     * ties by nn_id. Output: (query_id, rank, nn_id, score) — all BIGINT. */
   def tfIdfTopK(docs: DataFrame, k: Int = K, qmod: Int = 50): DataFrame = {
-    val posting = toks(docs)
+    // materialized once for its three consumers (df weights, query side,
+    // candidate side) — same discipline as the dedup suite's capped tables
+    val posting = toks(docs).localCheckpoint()
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // df cap drops corpus-wide stopwords BEFORE the candidate join; the
     // weight table is tiny (vocab-sized) — broadcast to both consumers
@@ -127,7 +129,7 @@ object Retrieval {
     * Query-side tf is presence (standard for short queries). */
   def bm25TopK(docs: DataFrame, k: Int = K, qmod: Int = 50,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val posting = toks(docs)
+    val posting = toks(docs).localCheckpoint() // 4 consumers, see tfIdfTopK
     val dl = posting.groupBy("doc_id").agg(sum("tf").as("dl"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val avg = dl.agg((sum("dl") / count(lit(1))).as("avgdl"))

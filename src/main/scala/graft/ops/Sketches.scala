@@ -52,7 +52,10 @@ object Sketches {
     require(depth <= CmsA.length, s"depth <= ${CmsA.length}")
     val toks = docs.select(col("doc_id"),
       explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    // two consumers (sketch pass + truth side) — materialize the id'd
+    // stream once
     val ids = toks.join(Dedup.vocab(toks), "tok").select(col("tok"), col("tid"))
+      .localCheckpoint()
     val counters = ids.agg(cms(col("tid"), lit(1L), depth, width).as("cms"))
     val truth = ids.groupBy("tok", "tid").agg(count(lit(1)).as("true_n"))
       .filter(col("true_n") >= minCount)
