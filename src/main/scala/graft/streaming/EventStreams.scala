@@ -47,7 +47,9 @@ object EventStreams {
     * closes when no event arrives within `gapSeconds` (tracked by event-time
     * timeout against the watermark). Custom keyed state — the reference has
     * nothing like it; this is the KeyValueGroupedDataset state API the
-    * north-rule generalization calls for. */
+    * north-rule generalization calls for. See [[StreamSessionize]] for the
+    * variant with exact output parity to the batch q82 operator (session
+    * ordinals, microsecond rollups). */
   def sessionize(events: Dataset[Ev], gapSeconds: Long,
                  watermark: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming gap-based sessionization — the continuous counterpart of
-  * [[graft.ops.Sessionize.sessionize]]: sessions close (and EMIT) either
+  * [[graft.ops.Sessionize.sessionize]], with output contract parity
+  * (per-user session ordinals, integer-microsecond rollups) so stream
+  * and batch results compare row-for-row. [[EventStreams.sessionize]]
+  * is the generic state-API form of the same pattern (no ordinal
+  * numbering, value rollups); this one exists so the BATCH operator has
+  * an exactly-matching streaming twin. Sessions close (and EMIT) either
   * when a later event of the same user arrives past the gap, or when event
   * time moves `gapUs` past the session's last event (event-time timeout),
   * so an abandoned session still flushes without waiting for the user to
