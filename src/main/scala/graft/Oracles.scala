@@ -220,6 +220,8 @@ object Oracles {
     "q89_hll_registers" -> graft.ops.Sketches.hllRegistersSql(
       src = graft.ops.Retrieval.corpusSql),
 
+    "q90_robust_outliers" -> graft.ops.Outliers.robustOutliersSql(),
+
     "q53_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS view_id
         | FROM (SELECT * FROM events WHERE event_type = 'click') l

@@ -259,6 +259,11 @@ object SparkEntry {
     "q89_hll_registers" -> ((s, dir) =>
       Sketches.hllRegisters(Retrieval.corpus(t(s, dir, "documents")))),
 
+    // robust per-user outlier flags (median/MAD): fixed-point values, two
+    // histogram-quantile passes, integer compares — fully hash-checked
+    "q90_robust_outliers" -> ((s, dir) =>
+      Outliers.robustOutliers(t(s, dir, "events"))),
+
     // integer PageRank over the closed-form document link graph: exact
     // BIGINT ranks (order-independent sums), 5 rounds of edge-join +
     // partial-agg — the canonical distributed shape, fully hash-checked
