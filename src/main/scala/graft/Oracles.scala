@@ -222,6 +222,12 @@ object Oracles {
 
     "q90_robust_outliers" -> graft.ops.Outliers.robustOutliersSql(),
 
+    "q91_rollup" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+        | CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin.replace("\n", " "),
+
     "q53_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS view_id
         | FROM (SELECT * FROM events WHERE event_type = 'click') l

@@ -259,6 +259,19 @@ object SparkEntry {
     "q89_hll_registers" -> ((s, dir) =>
       Sketches.hllRegisters(Retrieval.corpus(t(s, dir, "documents")))),
 
+    // OLAP grouping sets: per-(lang, source) detail + lang subtotals +
+    // grand total in ONE pass (rollup — no union of three aggregations);
+    // subtotal NULLs coalesced to a sentinel so the hash compare never
+    // sorts NULL keys (lang/source are non-null in the corpus)
+    "q91_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("gid").cast("long").as("gid"), col("n"), col("sum_chars"))),
+
     // robust per-user outlier flags (median/MAD): fixed-point values, two
     // histogram-quantile passes, integer compares — fully hash-checked
     "q90_robust_outliers" -> ((s, dir) =>
