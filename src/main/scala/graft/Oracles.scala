@@ -418,6 +418,7 @@ object Oracles {
     "q41_shapefile_scan" -> graft.sources.FileFixtures.shapefileOracle,
     "q43_shapefile_dsv2" -> graft.sources.FileFixtures.shapefileOracle,
     "q75_geojsonl_dsv2" -> graft.sources.FileFixtures.geojsonlOracle,
+    "q92_geojsonl_roundtrip" -> graft.sources.FileFixtures.geojsonlOracle,
     "q78_geojson_dsv2" -> graft.sources.FileFixtures.geojsonOracle,
     "q79_pbf_dsv2" -> graft.sources.FileFixtures.pbfOracle,
     "q42_pbf_scan" -> graft.sources.FileFixtures.pbfOracle,

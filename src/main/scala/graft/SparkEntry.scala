@@ -441,6 +441,9 @@ object SparkEntry {
     // line-delimited GeoJSON through the byte-range-splitting DSV2 source:
     // one ~7 MB file read as ~8 independent input partitions
     "q75_geojsonl_dsv2" -> ((s, _) => sources.FileFixtures.geojsonlScanQuery(s)),
+    // q75's fixture round-tripped through the GeoJSONL SINK (export) and
+    // re-read: the closed-form oracle catches any encoder drift
+    "q92_geojsonl_roundtrip" -> ((s, _) => sources.FileFixtures.geojsonlRoundtripQuery(s)),
     // q40's fixture through the FeatureCollection DSV2 (executor-side
     // streaming parse + column pruning) — same closed-form oracle
     "q78_geojson_dsv2" -> ((s, _) => sources.FileFixtures.geojsonScanQueryV2(s)),

@@ -150,14 +150,8 @@ object FileFixtures {
     finally w.close()
   }
 
-  def geojsonlScanQuery(spark: SparkSession): DataFrame = {
-    val dir = fixtureDir("q75")(d => writeGeoJsonl(s"$d/fix.geojsonl"))
+  private def jlProjection(spark: SparkSession, df: DataFrame): DataFrame = {
     graft.ops.GraftFunctions.register(spark)
-    // splitBytes 1 MB: the ~7 MB fixture fans out to ~8 byte-range input
-    // partitions — the scan itself must reassemble the identical table
-    // (straddling lines read by exactly one split)
-    val df = spark.read.format("geojsonl")
-      .option("splitBytes", (1L << 20).toString).load(s"$dir/fix.geojsonl")
     df.select(
       col("name"),
       round(col("val") * 4).cast("long").as("val_q"),
@@ -167,6 +161,32 @@ object FileFixtures {
       round(call_function("st_area", col("geom")) * 2).cast("long").as("area2"),
       round(call_function("st_x", call_function("st_centroid", col("geom"))) * 4).cast("long").as("x4"),
       round(call_function("st_y", call_function("st_centroid", col("geom"))) * 4).cast("long").as("y4"))
+  }
+
+  def geojsonlScanQuery(spark: SparkSession): DataFrame = {
+    val dir = fixtureDir("q75")(d => writeGeoJsonl(s"$d/fix.geojsonl"))
+    // splitBytes 1 MB: the ~7 MB fixture fans out to ~8 byte-range input
+    // partitions — the scan itself must reassemble the identical table
+    // (straddling lines read by exactly one split)
+    jlProjection(spark, spark.read.format("geojsonl")
+      .option("splitBytes", (1L << 20).toString).load(s"$dir/fix.geojsonl"))
+  }
+
+  /** q92: the q75 fixture round-tripped THROUGH [[GeoJsonlSink]] — read
+    * the fixture with the splitting DSV2, export it (executor-parallel
+    * part files, WKB re-encoded to GeoJSON), re-read the export, and the
+    * SAME closed-form oracle must still hash-match: any drift in the
+    * encoder (coordinate digits, ring order, property typing) shows up as
+    * a value or row mismatch. */
+  def geojsonlRoundtripQuery(spark: SparkSession): DataFrame = {
+    val dir = fixtureDir("q92") { d =>
+      writeGeoJsonl(s"$d/fix.geojsonl")
+      val src = spark.read.format("geojsonl")
+        .option("splitBytes", (1L << 20).toString).load(s"$d/fix.geojsonl")
+      GeoJsonlSink.write(src, s"$d/out")
+    }
+    jlProjection(spark, spark.read.format("geojsonl")
+      .option("splitBytes", (1L << 20).toString).load(s"$dir/out"))
   }
 
   /** Oracle re-derives every column from the SAME closed forms over
