@@ -222,6 +222,9 @@ object Oracles {
 
     "q90_robust_outliers" -> graft.ops.Outliers.robustOutliersSql(),
 
+    "q93_sampled_quantiles" -> graft.ops.Outliers.sampledQuantilesSql(
+      keep = 2147483647L / 2, pcts = Seq(50, 90, 99)),
+
     "q91_rollup" ->
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
         | CAST(GROUPING(lang, source) AS BIGINT) AS gid,

@@ -272,6 +272,13 @@ object SparkEntry {
           coalesce(col("source"), lit("<all>")).as("source"),
           col("gid").cast("long").as("gid"), col("n"), col("sum_chars"))),
 
+    // sampled quantiles (the continuous-value scale path): deterministic
+    // 50% hash sample + exact lower-discrete quantile of the sample —
+    // the approximate operator itself hash-checks; accuracy spec-pinned
+    "q93_sampled_quantiles" -> ((s, dir) =>
+      Outliers.sampledQuantiles(t(s, dir, "events"),
+        keep = 2147483647L / 2, pcts = Seq(50, 90, 99))),
+
     // robust per-user outlier flags (median/MAD): fixed-point values, two
     // histogram-quantile passes, integer compares — fully hash-checked
     "q90_robust_outliers" -> ((s, dir) =>

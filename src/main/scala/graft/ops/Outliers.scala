@@ -36,6 +36,42 @@ object Outliers {
         when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L).as("is_outlier"))
   }
 
+  /** Sampled quantiles — the scale path for CONTINUOUS-valued quantiles,
+    * where [[CorpusOps.groupQuantiles]]'s exact histogram needs bounded
+    * distinct-value cardinality: a deterministic multiplicative-hash
+    * sample (rate = keep/DrawP, a pure function of the row id — the same
+    * portable draw as stratifiedSample) followed by the exact
+    * lower-discrete quantile OF THE SAMPLE. Deterministic end to end, so
+    * the whole approximate operator hash-checks; its closeness to the
+    * exact quantiles is probabilistic and pinned by OutliersSpec.
+    * `keep` of DrawP = 2^31-1, e.g. keep = DrawP/20 samples ~5%. */
+  def sampledQuantiles(events: DataFrame, keep: Long, pcts: Seq[Int]): DataFrame = {
+    val drawP = 2147483647L
+    val draw = pmod(pmod(col("event_id"), lit(drawP)) * lit(2654435761L), lit(drawP))
+    val sampled = events
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .filter(draw < keep)
+    CorpusOps.groupQuantiles(sampled, "v", "user_id", pcts)
+  }
+
+  /** DuckDB replica of [[sampledQuantiles]]. */
+  def sampledQuantilesSql(keep: Long, pcts: Seq[Int]): String = {
+    val values = pcts.map(p => s"($p)").mkString(", ")
+    s"""WITH ev AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events
+       |   WHERE ((event_id % 2147483647) * 2654435761) % 2147483647 < $keep),
+       | hist AS (SELECT user_id AS grp, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+       | c AS (SELECT grp, v, cnt,
+       |   SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |   SUM(cnt) OVER (PARTITION BY grp) AS n FROM hist),
+       | q(pct) AS (VALUES $values)
+       | SELECT grp AS user_id, CAST(pct AS BIGINT) AS pct, CAST(v AS BIGINT) AS qval
+       | FROM c, q
+       | WHERE cum >= (pct * n + 99) // 100 AND cum - cnt < (pct * n + 99) // 100"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** One lower-discrete-median CTE pair over (grp, value) rows — the SQL
     * twin of the histogram+window method in [[CorpusOps.groupQuantiles]]. */
   private def medianCtes(tag: String, src: String, valueExpr: String): String =

@@ -10,6 +10,37 @@ class OutliersSpec extends AnyFunSuite with SparkTest {
     sorted(((vs.size + 1) / 2) - 1)
   }
 
+  test("sampledQuantiles: deterministic sample, exact-of-sample, close to true quantiles") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val keep = 2147483647L / 2
+    val got = graft.ops.Outliers.sampledQuantiles(ev, keep, Seq(50, 90))
+      .as[(Long, Long, Long)].collect()
+    // deterministic: rerun identical
+    val again = graft.ops.Outliers.sampledQuantiles(ev, keep, Seq(50, 90))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet === again.toSet)
+    // brute force: same draw, same sample, same lower-discrete quantile
+    val raw = ev.selectExpr("event_id", "user_id", "CAST(floor(value * 1000) AS LONG) AS v")
+      .as[(Long, Long, Long)].collect()
+    val sampled = raw.filter { case (id, _, _) => (id % 2147483647L) * 2654435761L % 2147483647L < keep }
+    assert(sampled.length > raw.length / 3 && sampled.length < 2 * raw.length / 3)
+    val expect = sampled.groupBy(_._2).flatMap { case (u, rows) =>
+      val s = rows.map(_._3).sorted
+      Seq(50, 90).map(p => (u, p.toLong, s(((p * s.length + 99) / 100) - 1)))
+    }.toSet
+    assert(got.toSet === expect)
+    // closeness: per-user sampled p50 within the user's true p25..p75 band
+    val trueQ = raw.groupBy(_._2).map { case (u, rows) =>
+      val s = rows.map(_._3).sorted
+      u -> (s(((25 * s.length + 99) / 100) - 1), s(((75 * s.length + 99) / 100) - 1))
+    }
+    got.filter(_._2 == 50L).foreach { case (u, _, q) =>
+      val (lo, hi) = trueQ(u)
+      assert(q >= lo && q <= hi, s"user $u sampled p50 $q outside [$lo, $hi]")
+    }
+  }
+
   test("robustOutliers == brute-force median/MAD; flags are robust to the planted spike") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$Sf/events.parquet")
