@@ -220,6 +220,9 @@ object Oracles {
     "q89_hll_registers" -> graft.ops.Sketches.hllRegistersSql(
       src = graft.ops.Retrieval.corpusSql),
 
+    "q94_bloom_membership" -> graft.ops.Sketches.bloomContaminationSql(
+      src = graft.ops.Retrieval.corpusSql),
+
     "q90_robust_outliers" -> graft.ops.Outliers.robustOutliersSql(),
 
     "q93_sampled_quantiles" -> graft.ops.Outliers.sampledQuantilesSql(

@@ -252,6 +252,13 @@ object SparkEntry {
     "q88_cms_sketch" -> ((s, dir) =>
       Sketches.cmsHeavyHitters(Retrieval.corpus(t(s, dir, "documents")), minCount = 50)),
 
+    // deterministic Bloom membership (the sketch triad's third leg):
+    // filter state built with order-independent bit_or, so BOTH the
+    // no-false-negatives contract and the exact false-positive set
+    // hash-compare; the scale story is the broadcast anti-join prefilter
+    "q94_bloom_membership" -> ((s, dir) =>
+      Sketches.bloomContamination(Retrieval.corpus(t(s, dir, "documents")))),
+
     // HyperLogLog distinct-token registers per language: integer column
     // math + an order-independent MAX groupBy, so the sketch STATE is
     // hash-checked cross-engine (the float harmonic-mean estimate is a

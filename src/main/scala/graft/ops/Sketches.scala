@@ -144,6 +144,100 @@ object Sketches {
     if (raw <= 2.5 * HllM && zeros > 0) HllM * math.log(HllM.toDouble / zeros) else raw
   }
 
+  // ---- Bloom filter (membership) ----
+  // Completes the sketch triad (CMS = frequency, HLL = distinct, Bloom =
+  // membership). Build is an order-independent bit_or over word indices —
+  // word w = OR of bit masks of every key hashing into w — so the filter
+  // STATE is deterministic and both engines construct the identical
+  // array; probes then agree bit-for-bit, making the no-false-negatives
+  // contract (and even the exact false-positive set) hash-checkable.
+  // At 100 TB this is the anti-join prefilter: the filter words table is
+  // m/64 rows broadcast to the probe side; only bloom-positive rows reach
+  // the expensive exact join.
+  val BloomM = 4096 // bits
+  val BloomK = 3    // hash rows (reuses CmsA/CmsB)
+
+  private def bloomPositions(key: Column): Seq[Column] =
+    (0 until BloomK).map(i => ((key * CmsA(i) + CmsB(i)) % P) % BloomM)
+  private def bloomPositionsSql(key: String): Seq[String] =
+    (0 until BloomK).map(i => s"((($key * ${CmsA(i)} + ${CmsB(i)}) % $P) % $BloomM)")
+
+  /** Two's-complement-safe single-bit mask for j in [0, 64): Spark's
+    * shiftleft wraps at 63 (Long.MinValue) where DuckDB's checked BIGINT
+    * errors — both sides use the explicit branch so the words agree. */
+  private def bitMask(j: Column): Column =
+    when(j === 63, lit(Long.MinValue)).otherwise(pow2(j))
+  private def pow2(j: Column): Column = {
+    import org.apache.spark.sql.{GraftShim => E}
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    E.column(ShiftLeft(E.expression(lit(1L)), E.expression(j.cast("int"))))
+  }
+  private def bitMaskSql(j: String): String =
+    s"(CASE WHEN $j = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << CAST($j AS INTEGER)) END)"
+
+  /** Bloom words table (word_idx, word) from a key frame (column `tid`). */
+  def bloomBuild(keys: DataFrame): DataFrame =
+    keys.select(explode(array(bloomPositions(col("tid")): _*)).as("pos"))
+      .select(floor(col("pos") / 64).cast("long").as("widx"),
+        bitMask(col("pos") % 64).as("b"))
+      .groupBy("widx").agg(bit_or(col("b")).as("word"))
+
+  /** q94 shape: Bloom filter built from the EVAL-set tokens (docs with
+    * doc_id % `evalMod` == 0), probed by every vocab token. Output per
+    * token: exact membership next to the bloom verdict — in_eval = 1 rows
+    * MUST have bloom_hit = 1 (no false negatives, structural), extra
+    * bloom_hit = 1 rows are the filter's documented false positives, and
+    * both columns hash-compare because the whole filter is deterministic. */
+  def bloomContamination(docs: DataFrame, evalMod: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    val ids = toks.join(Dedup.vocab(toks), "tok")
+      .select(col("doc_id"), col("tok"), col("tid")).localCheckpoint()
+    val evalKeys = ids.filter(col("doc_id") % evalMod === 0)
+      .select(col("tok"), col("tid")).distinct().localCheckpoint()
+    val words = broadcast(bloomBuild(evalKeys.select(col("tid"))))
+    val vocabToks = ids.select(col("tok"), col("tid")).distinct()
+    // probe: all K positions must find a set bit; a missing word row is a
+    // zero word (left join + coalesce)
+    val probed = vocabToks
+      .select(col("tok"), col("tid"),
+        posexplode(array(bloomPositions(col("tid")): _*)).as(Seq("i", "pos")))
+      .select(col("tok"), col("i"), floor(col("pos") / 64).cast("long").as("widx"),
+        bitMask(col("pos") % 64).as("b"))
+      .join(words, Seq("widx"), "left")
+      .select(col("tok"),
+        when(coalesce(col("word"), lit(0L)).bitwiseAND(col("b")) =!= 0, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("tok").agg(min("hit").as("bloom_hit"))
+    probed.join(evalKeys.select(col("tok"), lit(1L).as("in_eval")), Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("in_eval"), lit(0L)).as("in_eval"), col("bloom_hit"))
+  }
+
+  /** DuckDB replica of [[bloomContamination]]. */
+  def bloomContaminationSql(evalMod: Int = 100, src: String = "documents"): String = {
+    val posSelects = bloomPositionsSql("tid").map(p =>
+      s"SELECT tok, tid, $p AS pos FROM vocabtoks").mkString(" UNION ALL ")
+    val buildSelects = bloomPositionsSql("tid").map(p =>
+      s"SELECT $p AS pos FROM evalkeys").mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |   FROM $src rdocs),
+       | vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid FROM (SELECT DISTINCT tok FROM toks)),
+       | ids AS (SELECT t.doc_id, t.tok, v.tid FROM toks t JOIN vocab v USING (tok)),
+       | evalkeys AS (SELECT DISTINCT tok, tid FROM ids WHERE doc_id % $evalMod = 0),
+       | vocabtoks AS (SELECT DISTINCT tok, tid FROM ids),
+       | words AS (SELECT pos // 64 AS widx, bit_or(${bitMaskSql("(pos % 64)")}) AS word
+       |   FROM ($buildSelects) GROUP BY 1),
+       | probes AS ($posSelects),
+       | hits AS (SELECT p.tok,
+       |     CASE WHEN COALESCE(w.word, 0) & ${bitMaskSql("(p.pos % 64)")} <> 0 THEN 1 ELSE 0 END AS hit
+       |   FROM probes p LEFT JOIN words w ON w.widx = p.pos // 64),
+       | verdict AS (SELECT tok, CAST(min(hit) AS BIGINT) AS bloom_hit FROM hits GROUP BY tok)
+       | SELECT v.tok, CAST(CASE WHEN e.tok IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_eval,
+       |   v.bloom_hit
+       | FROM verdict v LEFT JOIN (SELECT DISTINCT tok FROM evalkeys) e USING (tok)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB replica of [[cmsHeavyHitters]] (same hash rows, same vocab
     * ranks, bucket sums instead of the streaming aggregate). */
   def cmsHeavyHittersSql(minCount: Long, depth: Int = 4, width: Int = 256,

@@ -73,6 +73,29 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(regs2 === regs)
   }
 
+  test("Bloom membership: zero false negatives, some false positives, deterministic") {
+    import spark.implicits._
+    val docs = graft.ops.Retrieval.corpus(spark.read.parquet(s"$Sf/documents.parquet"))
+    val out = graft.ops.Sketches.bloomContamination(docs, evalMod = 100)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // structural guarantee: every eval-set token hits
+    out.filter(_._2 == 1L).foreach { case (tok, _, hit) =>
+      assert(hit === 1L, s"false negative for eval token $tok")
+    }
+    val inEval = out.count(_._2 == 1L)
+    val nonEvalHits = out.count(r => r._2 == 0L && r._3 == 1L)
+    val nonEval = out.count(_._2 == 0L)
+    assert(inEval > 0 && nonEval > 0)
+    // m=4096, k=3 over a few hundred eval keys: false-positive rate must be
+    // small but the test corpus is big enough that the FP mechanism shows
+    assert(nonEvalHits < nonEval / 4, s"fp rate too high: $nonEvalHits/$nonEval")
+    // deterministic: rerun identical (this is what makes it hash-checkable)
+    val again = graft.ops.Sketches.bloomContamination(docs, evalMod = 100)
+      .as[(String, Long, Long)].collect()
+    assert(again.toSet === out.toSet)
+  }
+
   test("cmsHeavyHitters: sketch estimate >= exact count for every heavy hitter") {
     import spark.implicits._
     val docs = graft.ops.Retrieval.corpus(spark.read.parquet(s"$Sf/documents.parquet"))
