@@ -178,13 +178,8 @@ object Bench {
     // the contract line below always prints; denoising passes run AFTER the
     // scaling phase (the north-rule evidence outranks per-query polish
     // under the budget) and only while the budget is healthy
-    val tPass1 = System.nanoTime()
     val passes = scala.collection.mutable.ArrayBuffer(
       selected.map { case (name, fn) => name -> timeOnce(name, fn) })
-    // measured cost of a full query pass — the denoise gate budgets with
-    // this instead of a fixed threshold (a contended run once skipped ALL
-    // denoising because the conservative constant assumed a 2x-slower pass)
-    var lastPassSec = (System.nanoTime() - tPass1) / 1e9
     // min over SUCCESSFUL samples; -1 only when every sample failed
     // (a transient failure must not discard a good measurement)
     def bestOfPasses: Seq[(String, Double)] = selected.map(_._1).map { name =>

@@ -199,6 +199,8 @@ object Oracles {
         .stripMargin.replace("\n", " "),
 
     "q82_sessionize" -> graft.ops.Sessionize.sessionizeSql(),
+    // the skew-safe variant must produce the SAME sessions — same oracle
+    "q99_sessionize_skew" -> graft.ops.Sessionize.sessionizeSql(),
 
     // plain theta join — correct by definition; the Spark side must get the
     // same rows through the bucketed equi-join + refine
@@ -210,6 +212,9 @@ object Oracles {
         | ON e.pk >= p.lo AND e.pk < p.hi""".stripMargin.replace("\n", " "),
 
     "q83_tfidf_topk" -> graft.ops.Retrieval.tfIdfTopKSql(k = 10, qmod = 50,
+      src = graft.ops.Retrieval.corpusSql),
+
+    "q98_bm25_topk" -> graft.ops.Retrieval.bm25TopKIntSql(k = 10, qmod = 50,
       src = graft.ops.Retrieval.corpusSql),
 
     "q86_pagerank" -> graft.ops.LinkGraph.pageRankSql(),
@@ -452,6 +457,34 @@ object Oracles {
          |   SELECT query_id, nn_id, dot, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nn_id) AS rnk
          |   FROM pdot) WHERE rnk <= 5""".stripMargin.replace("\n", " ")
     },
+
+    // q29/q44 (formerly the rows-only ANN paths): over the planted-
+    // neighborhood corpus (Ann.plantedCorpus, copies = 5) each query's
+    // exact top-5 is its 5 identical copies — equal scores, nn_id
+    // tie-break — so the ranking is this closed form. q44 additionally
+    // carries the integer dot, recomputable as the quantized self-dot.
+    "q29_cosine_topk" ->
+      """SELECT vec_id AS query_id, CAST(j AS BIGINT) AS rank,
+        | vec_id + 1000000 + j AS nn_id
+        | FROM embeddings, (SELECT unnest(range(1, 6)) AS j) jj
+        | WHERE vec_id % 20 = 0""".stripMargin.replace("\n", " "),
+
+    "q44_ann_topk_ivf" ->
+      s"""WITH quant AS (SELECT vec_id, ${Ann.quantSqlExpr} AS q FROM embeddings),
+         | sd AS (SELECT vec_id,
+         |   CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS dot
+         |   FROM quant)
+         | SELECT vec_id AS query_id, CAST(j AS BIGINT) AS rank,
+         |   vec_id + 1000000 + j AS nn_id, dot
+         | FROM sd, (SELECT unnest(range(1, 6)) AS j) jj
+         | WHERE vec_id % 20 = 0""".stripMargin.replace("\n", " "),
+
+    // q30: LSH candidates verified by exact text equality == the planted
+    // mirror set (identical text => identical signature => same bucket in
+    // every band; originals are pairwise-unique so nothing else verifies)
+    "q30_minhash_prod" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+        | FROM documents WHERE doc_id % 3 = 0""".stripMargin.replace("\n", " "),
 
     // IVF recall contract: every planted mirror's rank-1 neighbor must be
     // its original (identical vector => same nearest cell => always found;

@@ -68,12 +68,21 @@ object GeoJsonEncode {
     var i = 0
     while (i < cs.size()) {
       if (i > 0) sb.append(',')
-      sb.append('[').append(cs.getX(i).toString).append(',').append(cs.getY(i).toString).append(']')
+      sb.append('[').append(num(cs.getX(i))).append(',').append(num(cs.getY(i))).append(']')
       i += 1
     }
     sb.append(']')
   }
 
   private def writeCoord(c: Coordinate, sb: StringBuilder): Unit =
-    sb.append('[').append(c.x.toString).append(',').append(c.y.toString).append(']')
+    sb.append('[').append(num(c.x)).append(',').append(num(c.y)).append(']')
+
+  // JSON has no NaN/Infinity literal, and Double.toString would emit one
+  // unquoted — invalid JSON that breaks the read-back half of the
+  // round-trip contract. A non-finite coordinate is not a representable
+  // GeoJSON position at all, so reject rather than silently null-encode.
+  private def num(d: Double): String = {
+    require(java.lang.Double.isFinite(d), s"geojson encode: non-finite coordinate $d")
+    d.toString
+  }
 }

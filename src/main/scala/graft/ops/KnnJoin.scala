@@ -145,16 +145,6 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
 
 object KnnJoin {
 
-  /** Collect + broadcast the POI layer, return a (lon,lat)->ordered ids UDF. */
-  def knnUdf(spark: SparkSession, pois: DataFrame, k: Int, level: Int,
-             geodesic: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val rows = pois.select("poi_id", "px", "py").collect()
-    val grid = new PoiGrid(level, rows.map(_.getLong(0)),
-      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), geodesic)
-    val bc = spark.sparkContext.broadcast(grid)
-    udf((lon: Double, lat: Double) => bc.value.knn(lon, lat, k))
-  }
-
   /** points must carry (lon, lat); pois (poi_id, px, py). Output: point rows
     * + (knn_rank int starting at 1, poi_id long). */
   def broadcastKnn(spark: SparkSession, points: DataFrame, pois: DataFrame,

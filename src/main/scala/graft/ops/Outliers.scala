@@ -21,8 +21,13 @@ object Outliers {
   /** Per-event robust flags over (event_id, user_id, value).
     * Output: (event_id, user_id, v, med, mad, is_outlier). */
   def robustOutliers(events: DataFrame, k: Long = 5L): DataFrame = {
-    val ev = events.select(col("event_id"), col("user_id"),
-      floor(col("value") * 1000).cast("long").as("v"))
+    // NULL values carry no deviation signal and would diverge from the
+    // oracle (groupQuantiles drops them from the medians but the final
+    // flag join would keep them) — exclude them from the row set outright,
+    // mirrored by WHERE value IS NOT NULL in [[robustOutliersSql]]
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
     val med = CorpusOps.groupQuantiles(ev, "v", "user_id", Seq(50))
       .select(col("user_id"), col("qval").as("med"))
     // two consumers (MAD histogram + final flags): materialize once
@@ -49,6 +54,7 @@ object Outliers {
     val drawP = 2147483647L
     val draw = pmod(pmod(col("event_id"), lit(drawP)) * lit(2654435761L), lit(drawP))
     val sampled = events
+      .filter(col("value").isNotNull) // mirrored in [[sampledQuantilesSql]]
       .select(col("event_id"), col("user_id"),
         floor(col("value") * 1000).cast("long").as("v"))
       .filter(draw < keep)
@@ -59,7 +65,8 @@ object Outliers {
   def sampledQuantilesSql(keep: Long, pcts: Seq[Int]): String = {
     val values = pcts.map(p => s"($p)").mkString(", ")
     s"""WITH ev AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events
-       |   WHERE ((event_id % 2147483647) * 2654435761) % 2147483647 < $keep),
+       |   WHERE value IS NOT NULL
+       |     AND ((event_id % 2147483647) * 2654435761) % 2147483647 < $keep),
        | hist AS (SELECT user_id AS grp, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
        | c AS (SELECT grp, v, cnt,
        |   SUM(cnt) OVER (PARTITION BY grp ORDER BY v
@@ -86,7 +93,8 @@ object Outliers {
 
   /** DuckDB replica of [[robustOutliers]] over the events table. */
   def robustOutliersSql(k: Long = 5L): String =
-    s"""WITH ev AS (SELECT event_id, user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events
+       |   WHERE value IS NOT NULL),
        | ${medianCtes("1", "ev", "v")},
        | wm AS (SELECT e.event_id, e.user_id, e.v, m.q AS med, abs(e.v - m.q) AS dev
        |   FROM ev e JOIN m1 m USING (user_id)),

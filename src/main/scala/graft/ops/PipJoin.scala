@@ -30,17 +30,6 @@ import graft.index.{CellGrid, CoverIndex}
   */
 object PipJoin {
 
-  /** Collect + broadcast the polygon layer, return a (lon,lat)->Array[poly_id]
-    * UDF — the reusable zero-shuffle probe. */
-  def containingUdf(spark: SparkSession, polygons: DataFrame,
-                    level: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val collected = polygons.select("poly_id", "geom").collect()
-    val idx = CoverIndex.build(
-      collected.map(_.getLong(0)), collected.map(_.getAs[Array[Byte]](1)), level)
-    val bc = spark.sparkContext.broadcast(idx)
-    udf((lon: Double, lat: Double) => bc.value.containing(lon, lat))
-  }
-
   /** points must carry (lon, lat) double columns; polygons (poly_id, geom WKB). */
   def broadcastJoin(spark: SparkSession, points: DataFrame, polygons: DataFrame,
                     level: Int = 6): DataFrame = {

@@ -30,7 +30,11 @@ object RangeJoin {
                    bucket: Long = 64L): DataFrame = {
     require(bucket > 0, "bucket must be positive")
     val b = lit(bucket)
-    val expanded = ranges.withColumn("_bkt",
+    // empty/inverted intervals (hi <= lo) match nothing under [lo, hi) —
+    // drop them BEFORE the explode: sequence() with a descending range
+    // (Spark defaults to step -1) would otherwise blow one malformed row
+    // up into a huge bucket list that only the refine filter discards
+    val expanded = ranges.filter(col(hiCol) > col(loCol)).withColumn("_bkt",
       explode(sequence(floor(col(loCol) / b).cast("long"),
         floor((col(hiCol) - 1) / b).cast("long"))))
     val keyed = probes.withColumn("_bkt", floor(col(keyCol) / b).cast("long"))

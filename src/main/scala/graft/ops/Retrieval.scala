@@ -122,6 +122,84 @@ object Retrieval {
        |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rnk FROM sc)
        | WHERE rnk <= $k""".stripMargin.replace("\n", " ")
 
+  /** Fixed-point scale for [[bm25TopKInt]]'s floor-scaled Robertson idf
+    * AND its per-token contribution (two independent floors). */
+  val Bm25Scale = 10000.0
+
+  /** Integer-exact BM25 (k1 = 1.2, b = 0.75 hard-wired as the exact
+    * rationals 12/10 and 3/4): the q83 discipline applied to the BM25
+    * formula, so the FULL ranking is hash-checked against the DuckDB
+    * replica — closing the one ranking family that was spec-only.
+    *
+    * Same plan shape as [[tfIdfTopK]]/[[bm25TopK]] (postings equi-join on
+    * tok with the df cap, bounded-heap top-k). Scoring per (query, tok,
+    * doc), all BIGINT:
+    *  - idfw = floor(Bm25Scale * ln(1 + (N - df + 0.5)/(df + 0.5))) — the
+    *    one float touchpoint; RetrievalSpec measures the distance of every
+    *    realized idf from its floor boundary (>= 1e-6 at the test SFs,
+    *    ~1e5 ulps of cross-engine ln divergence) so the floor cannot flip;
+    *  - length norm as an exact integer quotient: with avgdl = sumdl/M
+    *    (M = docs with >= 1 token), tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    *    == 22*tf*sumdl / (10*tf*sumdl + 3*sumdl + 9*dl*M) after clearing
+    *    denominators — integer DIV (both engines truncate; all terms
+    *    positive). Contribution = (idfw * 22*tf*sumdl) DIV (that), summed
+    *    as BIGINT (order-independent).
+    * Overflow headroom: idfw <= 1e4*ln(2N), so the widest product
+    * idfw*22*tf*sumdl stays under 2^63 while tf*sumdl < ~4e12 — documents
+    * corpora to ~1e10 total tokens; past that, rescale Bm25Scale. */
+  def bm25TopKInt(docs: DataFrame, k: Int = K, qmod: Int = 50): DataFrame = {
+    val posting = toks(docs).localCheckpoint() // 4 consumers, see tfIdfTopK
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dl = posting.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val sc = dl.agg(sum("dl").as("sumdl"), count(lit(1)).as("m_docs"))
+    val w = broadcast(
+      scalarJoin(posting.groupBy("tok").agg(count(lit(1)).as("df")), n)
+        .filter(col("df") * 2 <= col("n_docs"))
+        .select(col("tok"),
+          floor(lit(Bm25Scale) *
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+            .cast("long").as("idfw")))
+    val qt = posting.filter(col("doc_id") % qmod === 0)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val scores = qt.join(w, "tok")
+      .join(posting.withColumnRenamed("doc_id", "nn_id"), "tok")
+      .filter(col("nn_id") =!= col("query_id"))
+      .join(dl.withColumnRenamed("doc_id", "nn_id"), "nn_id")
+      .transform(scalarJoin(_, sc))
+      .withColumn("c", expr(
+        "(idfw * 22 * tf * sumdl) DIV (10 * tf * sumdl + 3 * sumdl + 9 * dl * m_docs)"))
+      .groupBy("query_id", "nn_id")
+      .agg(sum(col("c")).as("score"))
+    scores.groupBy("query_id")
+      .agg(TopKByScore(col("score"), col("nn_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "sc")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("sc.nn_id").as("nn_id"), col("sc.score").as("score"))
+  }
+
+  /** DuckDB replica of [[bm25TopKInt]] (same floors, same cleared-
+    * denominator integer quotient — `//` and Spark's DIV both truncate on
+    * the all-positive terms — same tie-break). */
+  def bm25TopKIntSql(k: Int = K, qmod: Int = 50, src: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, tok, count(*) AS tf FROM
+       |   (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |    FROM $src rdocs) GROUP BY doc_id, tok),
+       | n AS (SELECT count(*) AS n_docs FROM $src rdocs2),
+       | dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+       | scal AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl, count(*) AS m_docs FROM dl),
+       | w AS (SELECT tok, CAST(floor($Bm25Scale * ln(1 + (n.n_docs - df + 0.5) / (df + 0.5))) AS BIGINT) AS idfw
+       |   FROM (SELECT tok, count(*) AS df FROM toks GROUP BY tok) d, n WHERE df * 2 <= n.n_docs),
+       | s AS (SELECT q.query_id, d.doc_id AS nn_id,
+       |   CAST(sum((w.idfw * 22 * d.tf * scal.sumdl)
+       |     // (10 * d.tf * scal.sumdl + 3 * scal.sumdl + 9 * dl.dl * scal.m_docs)) AS BIGINT) AS score
+       |   FROM (SELECT doc_id AS query_id, tok FROM toks WHERE doc_id % $qmod = 0) q
+       |   JOIN w USING (tok) JOIN toks d USING (tok) JOIN dl ON dl.doc_id = d.doc_id, scal
+       |   WHERE d.doc_id <> q.query_id GROUP BY 1, 2)
+       | SELECT query_id, rnk AS rank, nn_id, score FROM (
+       |   SELECT query_id, nn_id, score,
+       |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rnk FROM s)
+       | WHERE rnk <= $k""".stripMargin.replace("\n", " ")
+
   /** BM25 (k1/b defaults per Robertson-Sparck Jones): same inverted-index +
     * bounded-heap plan as [[tfIdfTopK]], double-precision scoring
     * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),

@@ -65,7 +65,13 @@ object GeoJsonlSink {
                 case StringType => jsonString(r.getString(i), sb)
                 case LongType => sb.append(r.getLong(i))
                 case IntegerType => sb.append(r.getInt(i))
-                case DoubleType => sb.append(r.getDouble(i).toString)
+                case DoubleType =>
+                  // JSON has no NaN/Infinity literal — null-encode non-finite
+                  // values so every emitted line stays parseable (the
+                  // read-back half of the round-trip contract)
+                  val d = r.getDouble(i)
+                  if (java.lang.Double.isFinite(d)) sb.append(d.toString)
+                  else sb.append("null")
                 case BooleanType => sb.append(r.getBoolean(i))
                 case other => throw new IllegalArgumentException(
                   s"geojsonl write: unsupported property type $other for ${f.name}")

@@ -51,4 +51,68 @@ class SessionizeSpec extends AnyFunSuite with SparkTest {
       }
     assert(winOps.nonEmpty && winOps.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("sessionizeBucketed == sessionize on the events fixture") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val want = graft.ops.Sessionize.sessionize(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = graft.ops.Sessionize.sessionizeBucketed(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("sessionizeBucketed: planted pathological user, sessions span buckets") {
+    import spark.implicits._
+    // one hot user with 4000 events over 40 days (every ~14.4 min — ONE
+    // giant session), a second user whose sessions straddle every bucket
+    // boundary, and a third with gap-separated singleton sessions
+    val base = 1700000000000000L // µs
+    val hot = (0 until 4000).map(i => (1L, i.toLong, base + i * 864000000L))
+    val straddler = (0 until 80).map(i => (2L, 10000L + i, base + i * 43200000000L))
+    val sparse = (0 until 10).map(i => (3L, 20000L + i, base + i * 345600000000L))
+    val df = (hot ++ straddler ++ sparse)
+      .toDF("user_id", "event_id", "tus")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("tus")).cast("timestamp_ntz").as("ts"))
+    val want = graft.ops.Sessionize.sessionize(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = graft.ops.Sessionize.sessionizeBucketed(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // the hot user's single session must have been assembled ACROSS buckets
+    assert(want.exists { case (u, _, n, _, _) => u == 1L && n == 4000L })
+
+    // pre-split engaged: every event-level window partitions on
+    // (user_id, bucket), never on user_id alone
+    val explained = graft.ops.Sessionize.sessionizeBucketed(df).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("_b"), s"bucket column missing from plan\n$explained")
+    val evWindows = graft.ops.Sessionize.sessionizeBucketed(df)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.windowExpressions.exists(_.name.contains("_run")) ||
+             w.windowExpressions.exists(_.name.contains("_prev")) => w
+      }
+    // the summary-table windows (carry/offset) partition on user alone by
+    // design (<= nBuckets rows per user); the EVENT-level ones must not
+    assert(evWindows.forall(_.partitionSpec.size == 2),
+      "event-level windows must partition on (user_id, _b)")
+  }
+
+  test("sessionizeBucketed falls back cleanly on degenerate time axes") {
+    import spark.implicits._
+    val flat = Seq((1L, 1L, 1700000000000000L), (1L, 2L, 1700000000000000L),
+      (2L, 3L, 1700000000000000L))
+      .toDF("user_id", "event_id", "tus")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("tus")).cast("timestamp_ntz").as("ts"))
+    val got = graft.ops.Sessionize.sessionizeBucketed(flat)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L, 1700000000000000L, 0L),
+      (2L, 1L, 1L, 1700000000000000L, 0L)))
+    val empty = flat.filter(col("user_id") < 0)
+    assert(graft.ops.Sessionize.sessionizeBucketed(empty).count() === 0)
+  }
 }
