@@ -202,6 +202,17 @@ object Oracles {
     // the skew-safe variant must produce the SAME sessions — same oracle
     "q99_sessionize_skew" -> graft.ops.Sessionize.sessionizeSql(),
 
+    // streaming replays: final streaming state vs the equivalent batch
+    // query (q97's oracle is q82's SQL verbatim; q100's is q30's planted
+    // set — the streaming recall contract through real state stores)
+    "q95_stream_join" -> graft.streaming.StreamReplay.joinReplaySql(),
+    "q96_stream_cms" -> graft.streaming.StreamReplay.cmsReplaySql(),
+    "q97_stream_sessionize" -> graft.ops.Sessionize.sessionizeSql(),
+    "q100_stream_dedup" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+        | FROM documents WHERE doc_id % 3 = 0""".stripMargin.replace("\n", " "),
+    "q101_stream_ingest" -> graft.streaming.StreamReplay.ingestReplaySql,
+
     // plain theta join — correct by definition; the Spark side must get the
     // same rows through the bucketed equi-join + refine
     "q85_range_join" ->

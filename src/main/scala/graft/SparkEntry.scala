@@ -646,6 +646,17 @@ object SparkEntry {
     "q65_tile_cells" -> ((s, dir) =>
       ops.TileClip.clipToCells(sources.Layers.polygons(s, dir), TileClipLevel)
         .select(col("poly_id"), col("cell_x"), col("cell_y"))),
+    // --- streaming operators under the batch oracle (r4 verdict item 1):
+    // each replay drives the REAL streaming operator (MemoryStream source,
+    // watermarks + state stores live, multi-micro-batch) over a fixture
+    // and emits the FINAL streaming state as a BIGINT table whose oracle
+    // is the equivalent batch query — see streaming/StreamReplay.scala ---
+    "q95_stream_join" -> ((s, dir) => streaming.StreamReplay.joinReplay(s, dir)),
+    "q96_stream_cms" -> ((s, dir) => streaming.StreamReplay.cmsReplay(s, dir)),
+    "q97_stream_sessionize" -> ((s, dir) => streaming.StreamReplay.sessionizeReplay(s, dir)),
+    "q100_stream_dedup" -> ((s, dir) => streaming.StreamReplay.dedupReplay(s, dir)),
+    "q101_stream_ingest" -> ((s, dir) => streaming.StreamReplay.ingestReplay(s, dir)),
+
     // prod-MinHash containment contract: every planted exact-duplicate pair
     // (identical text => identical xxhash64 signature => same bucket in
     // every band) must survive the capped production path — emitted as a

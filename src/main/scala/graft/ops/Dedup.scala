@@ -356,8 +356,30 @@ object Dedup {
     members.unionAll(centers)
   }
 
-  /** Word 3-shingle Jaccard near-dup pairs: candidates share >= 1 shingle;
-    * kept iff Jaccard >= 0.5, tested as exact integers (2*inter >= union).
+  /** Word 3-shingle Jaccard near-dup pairs: kept iff Jaccard >= 0.5,
+    * tested as exact integers (2*inter >= union).
+    *
+    * Plan: AllPairs/PPJoin-style PREFIX FILTERING (Bayardo et al., WWW'07;
+    * Chaudhuri et al., ICDE'06) instead of the naive full inverted-index
+    * self-join. Each doc's shingles are ranked rarest-first by the total
+    * order (df, tid); only the first floor(nsh/2)+1 (the Jaccard-1/2
+    * prefix) enter the candidate self-join. Soundness for a qualifying
+    * pair (na <= nb wlog): J >= 1/2 forces overlap o >= ceil((na+nb)/3)
+    * >= ceil(nb/2) = alpha, and the prefix lemma (if |x ∩ y| >= alpha,
+    * the (|x|-alpha+1)-prefixes intersect) applies since both kept
+    * prefixes are at least that long — so no qualifying pair is missed,
+    * and the exact verify discards every false candidate. Candidates are
+    * then verified row-locally: each doc's full sorted tid array is
+    * joined back and inter = |array_intersect| — exact.
+    *
+    * Why: the r4-flagged profile showed the naive plan's cost was the
+    * 2M-distinct-group pair aggregate (the join itself was 0.33 s; no
+    * skew — max df 34); the prefix filter cuts candidate instances ~4x
+    * (2.33M -> 0.60M at sf0.1) BEFORE any aggregate, and the verify side
+    * moves the intersection count from a shuffle aggregate into row-local
+    * array math. At 100 TB the same 4x applies to the candidate shuffle,
+    * the dominant stream.
+    *
     * @param maxShingleFreq heavy-hitter guard: shingles appearing in more
     *   than this many docs are dropped from candidate generation (they make
     *   the inverted-index join quadratic in-bucket and carry ~no Jaccard
@@ -367,32 +389,46 @@ object Dedup {
   def jaccardPairs(corpus: DataFrame,
                    maxShingleFreq: Option[Int] = Some(MaxShingleFreqDefault),
                    logDrops: Boolean = false): DataFrame = {
-    // shs feeds three consumers (sizes, both self-join sides): materialize
-    // once instead of deriving the explode+distinct three times
+    import org.apache.spark.sql.expressions.Window
     val allSh = shingled(corpus).localCheckpoint(false)
-    val shs = maxShingleFreq match {
-      case None => allSh
+    // dense ids: exact long equality for ranking and intersection (xxhash
+    // would not be exact); the dictionary broadcasts below the vocab limit
+    val shid = allSh.join(shVocab(allSh), "sh").select("doc_id", "tid")
+    val freq = shid.groupBy("tid").agg(count(lit(1)).as("sh_df"))
+    val fkept = maxShingleFreq match {
+      case None => freq
       case Some(cap) =>
-        val freq = allSh.groupBy("sh").agg(count(lit(1)).as("sh_df"))
-        if (logDrops) { // opt-in: the count is its own job re-deriving allSh
+        if (logDrops) { // opt-in: the count is its own job re-deriving freq
           val nDropped = freq.filter(col("sh_df") > cap).count()
           if (nDropped > 0)
             System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
         }
-        // materialize the capped shingle table ONCE for its three
-        // consumers (sizes + both self-join sides) — same rationale as
-        // the bandPairs cap checkpoint
-        allSh.join(freq.filter(col("sh_df") <= cap).drop("sh_df"), Seq("sh"))
-          .localCheckpoint(false)
+        freq.filter(col("sh_df") <= cap)
     }
-    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = shs.as("a"); val b = shs.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+    // (df, tid) rank within doc + doc size; one (doc_id)-keyed exchange.
+    // tid is the alphabetical rank of sh, so (df, tid) is a total order.
+    // The df table is vocab-sized — broadcast, mirroring denseIds.
+    val w = Window.partitionBy("doc_id").orderBy("sh_df", "tid")
+    val ranked = shid.join(broadcast(fkept), Seq("tid"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .localCheckpoint(false) // feeds the prefix join AND the array build
+    val pref = ranked.filter(col("rn") <= expr("nsh DIV 2 + 1"))
+      .select("doc_id", "tid", "nsh")
+    val a = pref.as("a"); val b = pref.as("b")
+    // size filter in the join: J >= 1/2 is impossible past a 2x size ratio
+    val cand = a.join(b, col("a.tid") === col("b.tid")
+        && col("a.doc_id") < col("b.doc_id")
+        && greatest(col("a.nsh"), col("b.nsh")) <= lit(2) * least(col("a.nsh"), col("b.nsh")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .distinct()
+    val arrs = ranked.groupBy("doc_id").agg(sort_array(collect_list("tid")).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+      .withColumn("inter",
+        VectorExpressions.sortedInterCount(col("arr_a"), col("arr_b")))
       .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       .select("doc_a", "doc_b", "inter", "na", "nb")
   }

@@ -172,6 +172,90 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "word_shingles"
 }
 
+/** Winnowing fingerprints of a text as ONE native pass — the promoted form
+  * of the former `TextStats.fingerprints` ScalaUDF (the last per-row UDF
+  * feeding an explode on a fact path): tokenize on single spaces (empties
+  * dropped), hash each token by folding its Unicode code points through
+  * `(a * FpC + cp) mod FpP`, roll a width-`w` polynomial window hash over
+  * the token hashes, keep the min of every `g`-window band, and emit the
+  * distinct mins as `array<bigint>` (empty when the doc has < w tokens —
+  * the exploding caller drops it, matching the UDF's empty array).
+  *
+  * Code-point folding == the UDF's UTF-16 fold on BMP text and == the
+  * oracle SQL's `ord()` on ALL text (the UDF split supplementary chars
+  * into surrogate pairs; the oracle never did — the native form now sides
+  * with the oracle). The synthetic corpus is ASCII, where all three agree
+  * byte-for-byte; DedupAnnSpec pins the reimplementation equality.
+  *
+  * Why native: the ScalaUDF form paid CatalystTypeConverters boxing for
+  * the string in and the Array[Long] out on every row; this allocates one
+  * growable long buffer per row and hands Catalyst an unboxed
+  * GenericArrayData. All arithmetic stays below 2^62 (FpP < 2^31), exact
+  * int64 — the property that lets the DuckDB oracle replicate q26. */
+case class WinnowFingerprints(child: Expression, w: Int, g: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1 && g >= 1, s"window sizes must be >= 1, got w=$w g=$g")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  import TextStats.{FpB, FpC, FpP}
+
+  override def nullSafeEval(t: Any): Any = {
+    val bytes = t.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    // token hashes over maximal non-space runs, decoding UTF-8 inline
+    var th = new Array[Long](math.max(8, n / 8))
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        var a = 0L
+        while (i < n && bytes(i) != ' ') {
+          val b0 = bytes(i) & 0xff
+          var cp = 0
+          if (b0 < 0x80) { cp = b0; i += 1 }
+          else if (b0 < 0xe0) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2 }
+          else if (b0 < 0xf0) {
+            cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+            i += 3
+          } else {
+            cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+              ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+            i += 4
+          }
+          a = (a * FpC + cp) % FpP
+        }
+        if (nTok == th.length) th = java.util.Arrays.copyOf(th, nTok * 2)
+        th(nTok) = a; nTok += 1
+      }
+    }
+    if (nTok < w) return new GenericArrayData(Array.empty[Any])
+    val nW = nTok - w + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nW) { // band start (step g), min of the band's window hashes
+      var mn = Long.MaxValue
+      var j = s
+      val end = math.min(s + g, nW)
+      while (j < end) {
+        var a = 0L
+        var k = 0
+        while (k < w) { a = ((a * FpB) % FpP + th(j + k)) % FpP; k += 1 }
+        if (a < mn) mn = a
+        j += 1
+      }
+      seen.add(mn)
+      s += g
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object MinhashExpressions {
   def minhashSig(text: Column): Column =
     ExpressionUtils.column(MinhashSig(ExpressionUtils.expression(text)))
@@ -179,4 +263,8 @@ object MinhashExpressions {
   /** Distinct word 3-shingles (set semantics, first-occurrence order). */
   def distinctShingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct = true))
+
+  /** Distinct winnowing fingerprints (w-token windows, g-window bands). */
+  def winnowFingerprints(text: Column, w: Int = 4, g: Int = 4): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), w, g))
 }

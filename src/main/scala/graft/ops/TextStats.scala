@@ -374,18 +374,11 @@ object TextStats {
   val FpB = 1000003L
   val FpC = 131L
 
-  def fingerprints(docs: DataFrame, w: Int = 4, g: Int = 4): DataFrame = {
-    val fpUdf = udf((text: String) => {
-      val ts = text.split(" ").filter(_.nonEmpty)
-      if (ts.length < w) Array.empty[Long]
-      else {
-        val th = ts.map(t => t.foldLeft(0L)((a, c) => (a * FpC + c) % FpP))
-        val windows = th.sliding(w).map(_.foldLeft(0L)((a, h) => ((a * FpB) % FpP + h) % FpP)).toArray
-        windows.sliding(g, g).map(_.min).toArray.distinct
-      }
-    })
-    docs.select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
-  }
+  def fingerprints(docs: DataFrame, w: Int = 4, g: Int = 4): DataFrame =
+    // native one-pass expression (no ScalaUDF boxing on the fact path) —
+    // see [[MinhashExpressions.winnowFingerprints]] / WinnowFingerprints
+    docs.select(col("doc_id"),
+      explode(MinhashExpressions.winnowFingerprints(col("text"), w, g)).as("fp"))
 
   /** DuckDB replica of [[fingerprints]] (w = g = 4, the q26 parameters):
     * same char fold, same unrolled window polynomial, same band-min +

@@ -141,9 +141,53 @@ case class DoubleBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "double_bits"
 }
 
+/** |a ∩ b| for two ASCENDING-sorted long arrays with distinct elements —
+  * one merge walk, no per-row hash set or intermediate array (the
+  * `size(array_intersect(a, b))` composition it replaces allocates both,
+  * measured at ~4x the whole verify stage of the q23 prefix-filter plan).
+  * Caller contract: both inputs sorted ascending and duplicate-free
+  * (the jaccardPairs array build sorts its distinct-by-construction tids).
+  */
+case class SortedInterCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var acc = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { acc += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $acc++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_inter_count"
+}
+
 object VectorExpressions {
   def doubleBits(a: Column): Column =
     ExpressionUtils.column(DoubleBits(ExpressionUtils.expression(a)))
+  def sortedInterCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedInterCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def longDot(a: Column, b: Column): Column =
     ExpressionUtils.column(LongDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def doubleDot(a: Column, b: Column): Column =

@@ -563,4 +563,36 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(a === b)
     assert(a !== c)
   }
+
+  test("native winnowing fingerprints == reference reimplementation") {
+    import spark.implicits._
+    // the pre-promotion UDF logic, kept here as the executable spec of
+    // WinnowFingerprints (code-point fold == UTF-16 fold on BMP text)
+    def reference(text: String, w: Int, g: Int): Seq[Long] = {
+      val ts = text.split(" ").filter(_.nonEmpty)
+      if (ts.length < w) Seq.empty
+      else {
+        val P = TextStats.FpP; val B = TextStats.FpB; val C = TextStats.FpC
+        val th = ts.map(t => t.codePoints().toArray.foldLeft(0L)((a, c) => (a * C + c) % P))
+        val windows = th.sliding(w).map(_.foldLeft(0L)((a, h) => ((a * B) % P + h) % P)).toSeq
+        windows.sliding(g, g).map(_.min).toSeq.distinct
+      }
+    }
+    val texts = Seq(
+      "", "one", "a b c", "a b c d", "a b c d e f g h i j k l m",
+      "  doubled  spaces   here and more tokens to fill windows  ",
+      "repeat repeat repeat repeat repeat repeat repeat repeat",
+      "café naïve 世界 tokens mixed script body text",
+      "the quick brown fox jumps over the lazy dog again and again")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((w, g) <- Seq((4, 4), (3, 2), (1, 1))) {
+      val got = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.ops.MinhashExpressions.winnowFingerprints(col("text"), w, g).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      rows.foreach { case (id, t) =>
+        assert(got(id) === reference(t, w, g), s"doc $id (w=$w g=$g): '$t'")
+      }
+    }
+  }
 }

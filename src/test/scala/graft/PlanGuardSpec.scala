@@ -182,6 +182,19 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
     assert(pairUdfs.isEmpty, s"ScalaUDF over point columns in q14 plan: $pairUdfs")
   }
 
+  test("q26 fingerprints: native expression, no ScalaUDF on the fact path") {
+    val df = SparkEntry.queries("q26_fingerprint")(spark, Sf)
+    val hasNative = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[graft.ops.WinnowFingerprints])))
+    assert(hasNative, "q26 must fingerprint via the native WinnowFingerprints")
+    val udfs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u.toString
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"ScalaUDF in q26 plan: $udfs")
+  }
+
   test("q11 passthrough: the text column never enters an exchange") {
     // the north rule's byte-identical text must ride for free — matching is
     // done on (url, coords) and pages are LEFT SEMI joined on url, so no
