@@ -35,14 +35,47 @@ object StreamReplay {
 
   /** Start `out` on a fresh memory sink, run `feed(i)` + processAllAvailable
     * for each chunk, stop, and return the sink contents. The sink table
-    * (named uniquely per run) retains the final rows after stop. */
+    * (named uniquely per run) retains the final rows after stop.
+    *
+    * The checkpoint goes under [[graft.Scratch.dir]] (tmpfs): a stateful
+    * micro-batch commits one delta file per state-store partition per
+    * batch, and the default java.io.tmpdir sits on this sandbox's ~40 MB/s
+    * high-sys virtio disk — measured 2-5x the whole replay's wall time.
+    * Streaming state durability is a per-run transient here by design
+    * (each replay is a fresh deterministic run), so tmpfs placement
+    * changes no recovery story; the directory is deleted after the run. */
   private def drain(out: DataFrame, nChunks: Int, mode: String = "append")
                    (feed: Int => Unit): DataFrame = {
     val name = s"graft_replay_${seq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try (0 until nChunks).foreach { i => feed(i); q.processAllAvailable() }
-    finally q.stop()
-    out.sparkSession.table(name)
+    // checkpoint name unique ACROSS JVMs (tmpfs outlives the process; a
+    // crash-leftover checkpoint under a reused name would make the next
+    // run resume against this run's dead MemoryStream offsets)
+    val ckpt = new java.io.File(graft.Scratch.dir,
+      s"ckpt_${name}_${java.util.UUID.randomUUID()}")
+    val sess = out.sparkSession
+    // replay fixtures are tiny relative to a production stream, but a
+    // stateful micro-batch schedules (shuffle partitions) tasks per state
+    // store per batch — at the session's 32 that is ~hundreds of near-empty
+    // tasks per replay. Scope the streaming query to 8 state partitions
+    // (state partitioning is fixed by the FIRST batch from the session
+    // conf; a fresh checkpoint per run makes this safe). Production
+    // callers start their own queries and inherit their session's value.
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try (0 until nChunks).foreach { i => feed(i); q.processAllAvailable() }
+      finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        try rm(ckpt) catch { case _: Throwable => () }
+      }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+    sess.table(name)
   }
 
   private def halves[T](rows: Seq[T]): Array[Seq[T]] = {
@@ -211,7 +244,13 @@ object StreamReplay {
       }
       try rm(tmp.toFile) catch { case _: Throwable => () }
     }))
-    val stage = s"$tmp/stage"; val table = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
+    val stage = s"$tmp/stage"; val table = s"$tmp/t"
+    // streaming checkpoint on tmpfs (see drain's scaladoc). The name must
+    // be unique ACROSS JVMs, not just within one: /dev/shm outlives the
+    // process, and a leftover checkpoint from a previous run would make
+    // this query RESUME against that run's (deleted) stage files — a
+    // counter collides, the temp-dir name does not
+    val ckpt = s"${graft.Scratch.dir}/ckpt_${tmp.getFileName}"
     val ev = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"),
         floor(col("value") * 1000).cast("long").as("v"))
@@ -219,6 +258,13 @@ object StreamReplay {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     StreamIngest.ingest(stream, table, ckpt).awaitTermination()
+    locally { // the checkpoint is transient per run — drop it eagerly
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      try rm(new java.io.File(ckpt)) catch { case _: Throwable => () }
+    }
     val nBuckets = graft.table.TableLog.current(table)
       .map(_.buckets.size).getOrElse(0)
     graft.table.TableLog.read(s, table)
