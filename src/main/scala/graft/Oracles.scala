@@ -561,6 +561,31 @@ object Oracles {
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, CAST(1 AS BIGINT) AS found
         | FROM documents WHERE doc_id % 3 = 0""".stripMargin.replace("\n", " "),
 
+    // q28's pair pipeline -> recursive transitive closure (oracle-scale
+    // CC, mirroring q36's pattern) -> left join back onto the full corpus
+    // so singletons appear with cluster = self, keep = 1
+    "q102_emb_dedup_clusters" ->
+      s"""WITH RECURSIVE $quantElsCorpusCte,
+         | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr
+         |   FROM els e CROSS JOIN (SELECT unnest(range(${Ann.NumPlanes})) AS j) p GROUP BY 1, 2),
+         | buckets AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |   FROM proj GROUP BY vec_id),
+         | norms AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm FROM els GROUP BY vec_id),
+         | cpairs AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM buckets a
+         |   JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         | pdot AS (SELECT p.va, p.vb, CAST(sum(ea.x * eb.x) AS BIGINT) AS dot FROM cpairs p
+         |   JOIN els ea ON ea.vec_id = p.va JOIN els eb ON eb.vec_id = p.vb AND eb.i = ea.i GROUP BY 1, 2),
+         | nd AS (SELECT va, vb FROM pdot
+         |   JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+         |   WHERE dot > 0 AND dot * dot * 4 >= na.nrm * nb.nrm),
+         | edges AS (SELECT va AS u, vb AS v FROM nd UNION SELECT vb AS u, va AS v FROM nd),
+         | reach AS (SELECT u, v FROM edges
+         |   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+         | SELECT c.vec_id, CAST(coalesce(m.cluster, c.vec_id) AS BIGINT) AS cluster,
+         |   CAST(CASE WHEN coalesce(m.cluster, c.vec_id) = c.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         | FROM ecorpus c LEFT JOIN comp m ON m.vec_id = c.vec_id""".stripMargin.replace("\n", " "),
+
     "q28_lsh_neardup" ->
       s"""WITH $quantElsCorpusCte,
          | proj AS (SELECT e.vec_id, p.j, CAST(sum(e.x * ((e.i * (p.j + 3)) % 3 - 1)) AS BIGINT) AS pr

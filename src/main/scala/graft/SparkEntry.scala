@@ -536,6 +536,10 @@ object SparkEntry {
       Ann.topKBlocked(t(s, dir, "embeddings"), k = 5, qmod = 20)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("dot"))),
     "q28_lsh_neardup" -> ((s, dir) => Ann.lshNearDup(t(s, dir, "embeddings"))),
+    // semantic dedup end-to-end: q28 pairs -> CC -> canonical keep list
+    // over the full corpus (singletons keep themselves)
+    "q102_emb_dedup_clusters" -> ((s, dir) =>
+      Ann.embNearDupClusters(t(s, dir, "embeddings"))),
     "q33_ann_topk_blocked" -> ((s, dir) =>
       Ann.topKBlocked(t(s, dir, "embeddings"), k = 5, qmod = 20)
         .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))),

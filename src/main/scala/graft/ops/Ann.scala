@@ -155,6 +155,30 @@ object Ann {
       .select("vec_a", "vec_b", "dot")
   }
 
+  /** Semantic-dedup closing step: [[lshNearDup]] pairs -> connected
+    * components ([[Dedup.components]]' large/small-star rounds) -> a
+    * canonical keep list over the FULL corpus. Singletons (no near-dup
+    * pair) label themselves; each cluster keeps its min vec_id. This is
+    * the production embedding-dedup shape at 100 TB: candidate generation
+    * is the bucket equi-join, clustering runs O(log n) rounds over only
+    * the near-dup EDGES (vastly smaller than the corpus), and the final
+    * labeling is one left equi-join corpus x labels where the labels side
+    * holds only docs that had at least one pair. Output
+    * (vec_id, cluster, keep) with keep = 1 iff vec_id is its cluster's
+    * canonical representative. */
+  def embNearDupClusters(embeddings: DataFrame): DataFrame = {
+    val pairs = lshNearDup(embeddings)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.components(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
+    corpus(embeddings).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"),
+        when(coalesce(col("component"), col("vec_id")) === col("vec_id"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** Bit-flip masks for multiprobe: every mask with <= probeRadius bits set
     * (r=2 on 12 planes: 79 masks). Shared with the DuckDB oracle SQL so the
     * probe set cannot drift between engines. */

@@ -345,6 +345,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkTest {
     assert(out.map(r => (r._1, r._2)).toSet.contains((5L, 1000005L)))
   }
 
+  test("embedding near-dup clusters: mirrors co-cluster under min id, singletons keep themselves") {
+    import spark.implicits._
+    val vecs = (0L to 9L).map(i => (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
+    val out = Ann.embNearDupClusters(vecs.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // full corpus labeled: 10 originals + 2 planted mirrors (ids 0, 5)
+    assert(out.size == 12)
+    // planted mirrors co-cluster with their originals; the mirror (larger
+    // id) is never the canonical keep
+    assert(out(1000000L)._1 == out(0L)._1 && out(1000000L)._2 == 0L)
+    assert(out(1000005L)._1 == out(5L)._1 && out(1000005L)._2 == 0L)
+    // each cluster label is the min member id, exactly one keep per
+    // cluster, and it is the member equal to the label
+    val byCluster = out.groupBy(_._2._1)
+    assert(byCluster.forall { case (cl, m) => cl == m.keys.min })
+    assert(byCluster.forall { case (cl, m) =>
+      m.count(_._2._2 == 1L) == 1 && m(cl)._2 == 1L })
+  }
+
   test("text stats and lang id on a fixed string") {
     import spark.implicits._
     val d = docs((7L, "the table  the scan spark")) // double space -> empty token dropped
