@@ -230,6 +230,10 @@ object Oracles {
 
     "q86_pagerank" -> graft.ops.LinkGraph.pageRankSql(),
 
+    "q103_triangles" -> graft.ops.LinkGraph.trianglesSql,
+
+    "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
+
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,
       src = graft.ops.Retrieval.corpusSql),
 

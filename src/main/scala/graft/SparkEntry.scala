@@ -309,6 +309,16 @@ object SparkEntry {
     // partial-agg — the canonical distributed shape, fully hash-checked
     "q86_pagerank" -> ((s, dir) => LinkGraph.docPageRank(s, dir)),
 
+    // per-node triangle counts over the same link graph, degree-oriented
+    // so hub fan-out is bounded by sqrt(m) — the link-farm density signal
+    "q103_triangles" -> ((s, dir) => LinkGraph.docTriangles(s, dir)),
+
+    // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
+    // per partition, mergeable) + broadcast exact confirm — the two-pass
+    // hot-key pattern; output provably equals the plain GROUP BY HAVING
+    "q104_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.tokenHeavyHitters(t(s, dir, "documents"))),
+
     // hot-domain skew profile: per-domain frequency + salt factor
     "q46_domain_salt" -> ((s, dir) =>
       SkewProfile.domainProfile(WebPagesSynth.pages(s, dir), cap = 50)),

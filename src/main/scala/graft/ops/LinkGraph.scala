@@ -99,4 +99,79 @@ object LinkGraph {
     (Seq("WITH " + base) ++ rounds).mkString(", ")
       .stripMargin.replace("\n", " ") + s" SELECT doc_id, pr FROM pr$iters"
   }
+
+  /** Per-node triangle counts over the undirected closure of `edges` —
+    * the web-graph clustering signal (link farms and boilerplate nav
+    * rings are triangle-dense; organic link neighborhoods are sparse).
+    *
+    * Scale shape: the naive wedge join fans out as sum(deg^2), which a
+    * single hub (the web-graph norm) turns into a cross product. The
+    * standard fix (Suri & Vassilvitskii, WWW 2011): orient every
+    * undirected edge from its (degree, id)-smaller endpoint to the
+    * larger, so each triangle is generated by exactly one wedge at its
+    * lowest-degree corner and per-node join fan-out is bounded by
+    * ORIENTED out-degree = O(sqrt(m)) — hubs become near-sinks. The rest
+    * is two equi-joins (wedge build + closing-edge semi-join) and one
+    * partial-aggregating count; nothing driver-side, no adjacency lists.
+    *
+    * Output: (doc_id, n_tri) for every node in `nodes`, zeros included. */
+  def triangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val lo = deg.select(col("v").as("a"), col("d").as("da"))
+    val hi = deg.select(col("v").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // three consumers below (both wedge sides + the closing probe) — cut
+    // once so the orientation joins don't replay per consumer
+    val o = und.join(lo, "a").join(hi, "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    val wedges = o.as("o1").join(o.as("o2"), col("o1.dst") === col("o2.src"))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+    val tri = wedges.join(o.as("o3"),
+      col("u") === col("o3.src") && col("w") === col("o3.dst"), "leftsemi")
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v0"))
+      .groupBy("v0").agg(count(lit(1)).as("c"))
+    nodes.join(perNode, nodes("doc_id") === perNode("v0"), "left")
+      .select(col("doc_id"), coalesce(col("c"), lit(0L)).as("n_tri"))
+  }
+
+  /** q103 entry: triangle counts over the synthetic link graph. */
+  def docTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    triangles(docs.select("doc_id"), synthEdges(docs))
+  }
+
+  /** DuckDB replica of [[docTriangles]]: same closed-form edges, same
+    * degree orientation (explicit OR/AND form, not tuple compare, so both
+    * engines evaluate the identical predicate), same one-wedge-per-
+    * triangle count. */
+  def trianglesSql: String =
+    s"""WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+       | nodes AS (SELECT doc_id FROM documents),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+       |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+       |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+       | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+       | deg AS (SELECT v, count(*) AS d FROM
+       |   (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+       | o AS (SELECT
+       |     CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS src,
+       |     CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS dst
+       |   FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+       | tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+       |   FROM o o1 JOIN o o2 ON o2.src = o1.dst
+       |   WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.src = o1.src AND o3.dst = o2.dst)),
+       | pern AS (SELECT v0, count(*) AS c FROM
+       |   (SELECT u AS v0 FROM tri UNION ALL SELECT v AS v0 FROM tri
+       |    UNION ALL SELECT w AS v0 FROM tri) GROUP BY v0)
+       | SELECT n.doc_id, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_tri
+       | FROM nodes n LEFT JOIN pern p ON p.v0 = n.doc_id"""
+      .stripMargin.replace("\n", " ")
 }

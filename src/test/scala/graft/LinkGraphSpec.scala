@@ -35,4 +35,42 @@ class LinkGraphSpec extends AnyFunSuite with SparkTest {
     val total = pr.sum.toDouble / (n.toLong * graft.ops.LinkGraph.Scale)
     assert(total > 0.9 && total < 1.01, s"mass $total")
   }
+
+  test("triangles == brute-force per-node count; orientation emits each once") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val n = docs.count().toInt
+    val und = (0 until n).flatMap { i =>
+      (0L to 2 + i % 3).map(j => (i.toLong, (i * 31 + j * 17 + 7) % n))
+    }.filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct.toSet
+    val adj = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var nTri = 0L
+    for ((a, b) <- und; c <- adj.getOrElse(a, Set.empty) if c > b && und((b, c))) {
+      nTri += 1
+      Seq(a, b, c).foreach(v => triPerNode(v) += 1)
+    }
+    val got = graft.ops.LinkGraph.docTriangles(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === n)
+    assert(nTri > 0, "fixture graph must contain triangles")
+    (0 until n).foreach(i => assert(got(i.toLong) === triPerNode(i.toLong), s"doc $i"))
+    // total incidence = 3 * number of triangles (each counted exactly once)
+    assert(got.values.sum === 3 * nTri)
+  }
+
+  test("triangles: planted hub stays bounded — oriented out-degree caps fan-out") {
+    import spark.implicits._
+    // star graph (hub 0 to 1..100) + one triangle 1-2 edge: the hub's
+    // ORIENTED out-degree must be ~0 (highest degree => sink), so the
+    // wedge join never fans out hub-squared; and the only triangle is
+    // (0,1,2)
+    val edges = ((1L to 100L).map(v => (0L, v)) :+ (1L, 2L)).toDF("src", "dst")
+    val nodes = (0L to 100L).toDF("doc_id")
+    val got = graft.ops.LinkGraph.triangles(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === 1 && got(1L) === 1 && got(2L) === 1)
+    assert((3L to 100L).forall(got(_) === 0))
+  }
 }
