@@ -118,6 +118,9 @@ object Oracles {
     "q14_pip_join_salted" ->
       s"WITH $entsCte, $polysCte SELECT e.url, e.ent_idx, p.poly_id FROM ents e JOIN polys p ON $pipPred",
 
+    "q105_pip_str" ->
+      s"WITH $entsCte, $polysCte SELECT e.url, e.ent_idx, p.poly_id FROM ents e JOIN polys p ON $pipPred",
+
     "q56_distance_join" ->
       s"""WITH $entsCte, $poisCte
          | SELECT e.url, e.ent_idx, p.poi_id FROM ents e JOIN pois p

@@ -150,6 +150,19 @@ object SparkEntry {
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))
     }),
 
+    // STR-partitioned PIP join: sample-fitted equal-count partitions
+    // (Leutenegger STR packing) instead of fixed grid + salting — balance
+    // by construction under any spatial skew. The sample steers only
+    // balance, never membership, so output is hash-identical to q13
+    "q105_pip_str" -> ((s, dir) => {
+      val pts = ents(s, dir)
+      val bounds = StrPartition.fitFromSample(
+        Pipeline.entitiesSampled(s, dir, 0.05), "lon", "lat",
+        targetPartitions = 32)
+      StrPartition.pipJoin(s, pts, Layers.polygons(s, dir), bounds)
+        .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))
+    }),
+
     // distance join (ST_DWithin / range-join class): cell-ring candidates,
     // each pair generated exactly once, exact euclidean refine. d=1.03 is
     // tie-free on the /20 lattice (distance^2 is a multiple of 0.0025;
