@@ -121,6 +121,22 @@ object Oracles {
     "q105_pip_str" ->
       s"WITH $entsCte, $polysCte SELECT e.url, e.ent_idx, p.poly_id FROM ents e JOIN polys p ON $pipPred",
 
+    // grid-density clustering: dense-cell CC labels via recursive closure
+    // (oracle scale); Spark side = star rounds over dense cells only
+    "q106_grid_cluster" -> {
+      import graft.ops.GridCluster
+      val lvl = GridCluster.DefaultLevel
+      val n = 1L << lvl
+      s"""WITH RECURSIVE $entsCte,
+         | pk AS (SELECT url, ent_idx,
+         |   ${GridCluster.cellXSql(eLon, lvl)} * $n + ${GridCluster.cellYSql(eLat, lvl)} AS gkey
+         |   FROM ents e),
+         | ${GridCluster.labelCtesSql(lvl, GridCluster.DefaultMinPts)}
+         | SELECT p.url, CAST(p.ent_idx AS BIGINT) AS ent_idx,
+         |   CAST(coalesce(l.lbl, -1) AS BIGINT) AS cluster
+         | FROM pk p LEFT JOIN lbl l USING (gkey)""".stripMargin.replace("\n", " ")
+    },
+
     "q56_distance_join" ->
       s"""WITH $entsCte, $poisCte
          | SELECT e.url, e.ent_idx, p.poi_id FROM ents e JOIN pois p
@@ -326,6 +342,10 @@ object Oracles {
          |   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          | SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
          | FROM reach GROUP BY u""".stripMargin.replace("\n", " "),
+
+    // ExactSubstr duplicated spans: the fold/break rules are generated from
+    // the same constants the Spark plan uses (SubstrDedup.dupSpansSql)
+    "q107_dup_spans" -> graft.ops.SubstrDedup.dupSpansSql(Dedup.corpusSql),
 
     "q22_simhash" -> {
       val sums = (0 until Dedup.Planes).map(j =>

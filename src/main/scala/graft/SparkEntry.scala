@@ -163,6 +163,17 @@ object SparkEntry {
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))
     }),
 
+    // grid-density clustering (distributed DBSCAN family): points -> cells,
+    // dense cells (>= minPts) -> CC over 8-adjacent dense cells -> per-point
+    // label = component min cell key; sparse-cell points are noise (-1).
+    // The pairwise stage runs over DENSE CELLS, never points
+    "q106_grid_cluster" -> ((s, dir) =>
+      GridCluster.cluster(
+        ents(s, dir).select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+          col("lon"), col("lat")),
+        "lon", "lat", GridCluster.DefaultLevel, GridCluster.DefaultMinPts)
+        .select(col("url"), col("ent_idx"), col("cluster"))),
+
     // distance join (ST_DWithin / range-join class): cell-ring candidates,
     // each pair generated exactly once, exact euclidean refine. d=1.03 is
     // tie-free on the /20 lattice (distance^2 is a multiple of 0.0025;
@@ -389,6 +400,10 @@ object SparkEntry {
     // near-dup pairs -> transitive cluster label per doc (large/small-star CC)
     "q36_dedup_components" -> ((s, dir) =>
       Dedup.components(Dedup.minhashPairs(Dedup.corpus(s, dir)))),
+    // ExactSubstr duplicated-span detection (Lee et al. 2022): K-token
+    // windows occurring >= 2x corpus-wide, merged into maximal per-doc
+    // spans (gaps-and-islands) — the spans a training pipeline cuts
+    "q107_dup_spans" -> ((s, dir) => SubstrDedup.dupSpans(Dedup.corpus(s, dir))),
     "q24_text_stats" -> ((s, dir) => TextStats.stats(t(s, dir, "documents"))),
     "q25_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents")).select("doc_id", "s_en", "s_de", "s_es", "pred_lang")),
