@@ -251,6 +251,16 @@ object Oracles {
 
     "q103_triangles" -> graft.ops.LinkGraph.trianglesSql,
 
+    // BFS hop distance: capped recursive closure, min depth per node
+    "q108_bfs_hops" -> graft.ops.LinkGraph.bfsSql(),
+
+    // polyline length per url: same lag window, same IEEE op sequence
+    "q109_track_length" -> graft.ops.GeoMeasure.trackLengthSql(entsCte, eLon, eLat),
+
+    // blocked fuzzy match: same title/typo synthesis, same levenshtein
+    "q110_fuzzy_match" ->
+      graft.ops.FuzzyMatch.docFuzzyMatchSql("(SELECT doc_id, text FROM documents)"),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

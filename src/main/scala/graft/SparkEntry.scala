@@ -337,6 +337,22 @@ object SparkEntry {
     // so hub fan-out is bounded by sqrt(m) — the link-farm density signal
     "q103_triangles" -> ((s, dir) => LinkGraph.docTriangles(s, dir)),
 
+    // multi-source BFS hop distance from the seed list (crawl-depth prior):
+    // frontier-join rounds with a checkpointed-level visited set, early
+    // exit on an empty frontier; -1 = unreached within the cap
+    "q108_bfs_hops" -> ((s, dir) => LinkGraph.docBfsHops(s, dir)),
+
+    // ST_MakeLine + ST_Length class: per-page geo-entity trail length in
+    // floor-scaled 1e-6-degree units — one url exchange serves both the
+    // lag window and the aggregation; bit-exact via IEEE sqrt
+    "q109_track_length" -> ((s, dir) => GeoMeasure.trackLength(
+      ents(s, dir).select(col("url"), col("ent_idx"), col("lon"), col("lat")))),
+
+    // record linkage: noisy titles vs the canonical list by blocking-key
+    // equi-join (never all-pairs) + length band + exact levenshtein refine
+    "q110_fuzzy_match" -> ((s, dir) =>
+      FuzzyMatch.docFuzzyMatch(t(s, dir, "documents").select("doc_id", "text"))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING

@@ -147,6 +147,79 @@ object LinkGraph {
     triangles(docs.select("doc_id"), synthEdges(docs))
   }
 
+  /** Seed predicate modulus for q108 (doc_id % 97 == 0 — ~1% of docs). */
+  val BfsSeedMod = 97L
+  /** q108 round cap. */
+  val BfsMaxHops = 4
+
+  /** Multi-source BFS hop distance — "crawl depth from the seed list", the
+    * standard frontier-quality signal for web corpora (pages far from any
+    * trusted seed are spam-heavier; OPIC/harmonic-style priors start from
+    * exactly this). Every node gets the length of its shortest DIRECTED
+    * path from any seed: 0 for seeds, -1 if unreached within `maxHops`.
+    *
+    * Scale shape — the canonical distributed BFS, one pair of equi-key
+    * exchanges per round, nothing driver-side:
+    *   - expand: frontier ⋈ edges on src (the frontier is the small side
+    *     and shrinks as the graph saturates; edges are materialized once
+    *     and probed every round);
+    *   - dedupe: distinct on the candidate set (map-side combined);
+    *   - visited check: LEFT ANTI join against the union of the previous
+    *     LEVELS — each level is localCheckpointed once when produced, so
+    *     the visited set is a union of materialized frames, never a
+    *     re-materialized running table;
+    *   - early exit when a frontier empties (a driver-side isEmpty on the
+    *     already-checkpointed level, not an extra job).
+    * Hop counts are assigned the round a node is FIRST reached, which is
+    * the BFS shortest-distance invariant; everything is BIGINT, so the
+    * result hash-checks against the oracle's recursive closure. */
+  def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+              maxHops: Int = BfsMaxHops): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e = edges.localCheckpoint()
+    var levels = List(seeds.select(col("doc_id"), lit(0L).as("hop")).localCheckpoint())
+    var frontier = levels.head.select("doc_id")
+    var r = 1
+    var exhausted = false
+    while (r <= maxHops && !exhausted) {
+      val visited = levels.map(_.select("doc_id")).reduce(_ unionAll _)
+      val next = frontier.join(e, frontier("doc_id") === e("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(r.toLong).as("hop"))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else { levels ::= next; frontier = next.select("doc_id") }
+      r += 1
+    }
+    val dist = levels.reduce(_ unionAll _)
+    nodes.join(dist, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hop"), lit(-1L)).as("hop"))
+  }
+
+  /** q108 entry: hop distance from the % [[BfsSeedMod]] seed set over the
+    * synthetic link graph. */
+  def docBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    bfsHops(docs.select("doc_id"), synthEdges(docs),
+      docs.filter(col("doc_id") % BfsSeedMod === 0).select("doc_id"))
+  }
+
+  /** DuckDB replica of [[docBfsHops]]: same closed-form edges, capped
+    * recursive closure, min depth per node. */
+  def bfsSql(maxHops: Int = BfsMaxHops): String =
+    s"""WITH RECURSIVE nn AS (SELECT count(*) AS n_docs FROM documents),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+       |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+       |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+       | r(v, d) AS (SELECT doc_id, 0 FROM documents WHERE doc_id % $BfsSeedMod = 0
+       |   UNION SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < $maxHops),
+       | m AS (SELECT v AS doc_id, min(d) AS d FROM r GROUP BY v)
+       | SELECT doc_id, CAST(COALESCE(m.d, -1) AS BIGINT) AS hop
+       | FROM documents n LEFT JOIN m USING (doc_id)"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB replica of [[docTriangles]]: same closed-form edges, same
     * degree orientation (explicit OR/AND form, not tuple compare, so both
     * engines evaluate the identical predicate), same one-wedge-per-
