@@ -261,6 +261,10 @@ object Oracles {
     "q110_fuzzy_match" ->
       graft.ops.FuzzyMatch.docFuzzyMatchSql("(SELECT doc_id, text FROM documents)"),
 
+    // bigram LM score: same lead-window bigrams, same floor/scale sequence
+    "q111_lm_score" ->
+      graft.ops.LmScore.lmScoreSql("(SELECT doc_id, text FROM documents)"),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

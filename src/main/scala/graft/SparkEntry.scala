@@ -353,6 +353,11 @@ object SparkEntry {
     "q110_fuzzy_match" -> ((s, dir) =>
       FuzzyMatch.docFuzzyMatch(t(s, dir, "documents").select("doc_id", "text"))),
 
+    // CCNet-class statistical LM quality score: corpus-trained bigram MLE,
+    // per-doc floor-scaled probability sums — integer-exact end to end
+    "q111_lm_score" -> ((s, dir) =>
+      LmScore.lmScore(t(s, dir, "documents").select("doc_id", "text"))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
