@@ -153,12 +153,16 @@ object SparkEntry {
     // STR-partitioned PIP join: sample-fitted equal-count partitions
     // (Leutenegger STR packing) instead of fixed grid + salting — balance
     // by construction under any spatial skew. The sample steers only
-    // balance, never membership, so output is hash-identical to q13
+    // balance, never membership, so output is hash-identical to q13.
+    // fraction 0.25: equal-count cuts need >> targetPartitions distinct
+    // sample values — the /20 coordinate lattice collapses duplicate cuts
+    // (a 0.05 sample left 38 of 256 partitions); the sample stays bounded
+    // by fitFromSample's hard LIMIT regardless of input size
     "q105_pip_str" -> ((s, dir) => {
       val pts = ents(s, dir)
       val bounds = StrPartition.fitFromSample(
-        Pipeline.entitiesSampled(s, dir, 0.05), "lon", "lat",
-        targetPartitions = 32)
+        Pipeline.entitiesSampled(s, dir, 0.25), "lon", "lat",
+        targetPartitions = 256)
       StrPartition.pipJoin(s, pts, Layers.polygons(s, dir), bounds)
         .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("poly_id"))
     }),
