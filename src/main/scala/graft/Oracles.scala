@@ -265,6 +265,9 @@ object Oracles {
     "q111_lm_score" ->
       graft.ops.LmScore.lmScoreSql("(SELECT doc_id, text FROM documents)"),
 
+    // hex binning: same exact-literal constants, op order, and branches
+    "q112_hex_counts" -> graft.ops.HexGrid.hexCountsSql(entsCte, eLon, eLat),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -362,6 +362,10 @@ object SparkEntry {
     "q111_lm_score" -> ((s, dir) =>
       LmScore.lmScore(t(s, dir, "documents").select("doc_id", "text"))),
 
+    // H3-style hexagonal density: axial transform + cube rounding as pure
+    // codegen column math, one map-side-combined groupBy (hex twin of q17)
+    "q112_hex_counts" -> ((s, dir) => HexGrid.hexCounts(ents(s, dir), "lon", "lat")),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
