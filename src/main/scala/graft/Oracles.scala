@@ -268,6 +268,10 @@ object Oracles {
     // hex binning: same exact-literal constants, op order, and branches
     "q112_hex_counts" -> graft.ops.HexGrid.hexCountsSql(entsCte, eLon, eLat),
 
+    // ring validation: verdicts recomputed from the vertex table (shoelace
+    // + closure + duplicate + sign()-crossing self-join), integer-exact
+    "q113_geom_validate" -> graft.ops.GeoValidate.validateSql,
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -366,6 +366,13 @@ object SparkEntry {
     // codegen column math, one map-side-combined groupBy (hex twin of q17)
     "q112_hex_counts" -> ((s, dir) => HexGrid.hexCounts(ents(s, dir), "lon", "lat")),
 
+    // ring validation over the planted-defect corpus: row-local native
+    // pass (no shuffle); the oracle recomputes every verdict independently
+    // (shoelace + closure + duplicate + crossing self-join), never reading
+    // the planted class
+    "q113_geom_validate" -> ((s, dir) =>
+      GeoValidate.validate(GeoValidate.ringCorpus(t(s, dir, "part")))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
