@@ -272,6 +272,9 @@ object Oracles {
     // + closure + duplicate + sign()-crossing self-join), integer-exact
     "q113_geom_validate" -> graft.ops.GeoValidate.validateSql,
 
+    // segment crossing join: quadratic scan, identical orientation signs
+    "q114_segment_join" -> graft.ops.SegmentJoin.joinSql,
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -373,6 +373,13 @@ object SparkEntry {
     "q113_geom_validate" -> ((s, dir) =>
       GeoValidate.validate(GeoValidate.ringCorpus(t(s, dir, "part")))),
 
+    // line x line crossing join: PBSM grid candidates + reference-point
+    // dedup (each pair emitted in exactly one shared cell, no distinct) +
+    // strict integer orientation refine; oracle is the quadratic scan
+    "q114_segment_join" -> ((s, dir) =>
+      SegmentJoin.join(SegmentJoin.segmentsA(t(s, dir, "part")),
+        SegmentJoin.segmentsB(t(s, dir, "customer")))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
