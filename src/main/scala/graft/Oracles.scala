@@ -275,6 +275,9 @@ object Oracles {
     // segment crossing join: quadratic scan, identical orientation signs
     "q114_segment_join" -> graft.ops.SegmentJoin.joinSql,
 
+    // overlay area: quadratic scan, identical integer rectangle overlap
+    "q115_overlay_area" -> graft.ops.OverlayJoin.intersectionAreaSql,
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -380,6 +380,12 @@ object SparkEntry {
       SegmentJoin.join(SegmentJoin.segmentsA(t(s, dir, "part")),
         SegmentJoin.segmentsB(t(s, dir, "customer")))),
 
+    // overlay with measure: ST_Intersection area of diamond pairs via the
+    // 45-degree closed form (L1 balls -> axis-aligned squares), exact Long
+    // arithmetic at 80x scale; grid candidates + reference-point dedup
+    "q115_overlay_area" -> ((s, dir) =>
+      OverlayJoin.intersectionArea(t(s, dir, "part"), t(s, dir, "customer"))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING

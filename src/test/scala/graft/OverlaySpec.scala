@@ -58,4 +58,40 @@ class OverlaySpec extends AnyFunSuite with SparkTest {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("intersectionArea: integer forms == 80x Layers doubles; ia == closed form; exactly once") {
+    val sfDir = "/root/testdata/sf0.01"
+    val a = graft.sources.Layers.polygons(spark, sfDir)
+      .select("poly_id", "cx", "cy", "r").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val b = graft.sources.Layers.polygonsB(spark, sfDir)
+      .select("polyb_id", "cx", "cy", "r").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // closed-form expected areas from the double lattice (u-v rectangle
+    // overlap x 80, rounded — the true values are exact integers)
+    def i80(v: Double): Long = math.round(v * 80)
+    val want = (for {
+      (ai, ax, ay, ar) <- a
+      (bi, bx, by, br) <- b
+      ou = math.min(i80(ax + ay + ar), i80(bx + by + br)) -
+        math.max(i80(ax + ay - ar), i80(bx + by - br))
+      ov = math.min(i80(ax - ay + ar), i80(bx - by + br)) -
+        math.max(i80(ax - ay - ar), i80(bx - by - br))
+      if ou > 0 && ov > 0
+    } yield ((ai, bi), ou * ov)).toMap
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val rows = OverlayJoin.intersectionArea(part, cust)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(rows.length == rows.map(_._1).distinct.length, "pair emitted twice")
+    assert(rows.toMap == want)
+    assert(want.nonEmpty)
+    // JTS ground truth on a sample: geometric intersection area x 12800 == ia
+    val aG = a.map { case (id, cx, cy, r) => id -> WkbCodec.diamond(cx, cy, r) }.toMap
+    val bG = b.map { case (id, cx, cy, r) => id -> WkbCodec.diamond(cx, cy, r) }.toMap
+    rows.take(40).foreach { case ((ai, bi), ia) =>
+      val jts = aG(ai).intersection(bG(bi)).getArea
+      assert(math.abs(jts * 12800.0 - ia) < 1e-4, s"pair ($ai,$bi)")
+    }
+  }
 }
