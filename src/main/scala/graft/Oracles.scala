@@ -278,6 +278,9 @@ object Oracles {
     // overlay area: quadratic scan, identical integer rectangle overlap
     "q115_overlay_area" -> graft.ops.OverlayJoin.intersectionAreaSql,
 
+    // Hilbert: the same rotate/reflect fold, one CTE stage per level
+    "q116_hilbert" -> graft.ops.HilbertCurve.entityHilbertSql(entsCte),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -386,6 +386,11 @@ object SparkEntry {
     "q115_overlay_area" -> ((s, dir) =>
       OverlayJoin.intersectionArea(t(s, dir, "part"), t(s, dir, "customer"))),
 
+    // Hilbert cell encoding: the locality-optimal clustering key (unit
+    // steps only, unlike Z-order's jumps); row-local native fold, oracle
+    // is the same fold unrolled into 13 integer-CASE CTE stages
+    "q116_hilbert" -> ((s, dir) => HilbertCurve.entityHilbert(ents(s, dir))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
