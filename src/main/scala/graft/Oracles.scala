@@ -281,6 +281,9 @@ object Oracles {
     // Hilbert: the same rotate/reflect fold, one CTE stage per level
     "q116_hilbert" -> graft.ops.HilbertCurve.entityHilbertSql(entsCte),
 
+    // Moran's I: same lattice, same N-scaled deviations, same queen join
+    "q117_moran" -> graft.ops.SpatialStats.moranNumeratorsSql(entsCte, eLon, eLat),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -391,6 +391,11 @@ object SparkEntry {
     // is the same fold unrolled into 13 integer-CASE CTE stages
     "q116_hilbert" -> ((s, dir) => HilbertCurve.entityHilbert(ents(s, dir))),
 
+    // global Moran's I numerators: deviations scaled by N so everything
+    // stays BIGINT-exact; one fact exchange (the cell groupBy), then
+    // lattice-sized broadcast self-join for the queen weights
+    "q117_moran" -> ((s, dir) => SpatialStats.moranNumerators(s, ents(s, dir))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
