@@ -254,6 +254,10 @@ object Oracles {
     // BFS hop distance: capped recursive closure, min depth per node
     "q108_bfs_hops" -> graft.ops.LinkGraph.bfsSql(),
 
+    // weighted SSSP: same closed-form edges + weights, cost-carrying
+    // capped recursive closure, min cost per node
+    "q120_sssp" -> graft.ops.LinkGraph.ssspSql(),
+
     // polyline length per url: same lag window, same IEEE op sequence
     "q109_track_length" -> graft.ops.GeoMeasure.trackLengthSql(entsCte, eLon, eLat),
 
@@ -283,6 +287,12 @@ object Oracles {
 
     // Moran's I: same lattice, same N-scaled deviations, same queen join
     "q117_moran" -> graft.ops.SpatialStats.moranNumeratorsSql(entsCte, eLon, eLat),
+
+    // LISA: per-cell deviation + queen lag + quadrant, same CTE prefix
+    "q118_local_moran" -> graft.ops.SpatialStats.localMoranSql(entsCte, eLon, eLat),
+
+    // join counts: B/W surface + directed class-pair adjacency counts
+    "q119_join_counts" -> graft.ops.SpatialStats.joinCountsSql(entsCte, eLon, eLat),
 
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 

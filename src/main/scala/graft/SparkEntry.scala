@@ -346,6 +346,11 @@ object SparkEntry {
     // exit on an empty frontier; -1 = unreached within the cap
     "q108_bfs_hops" -> ((s, dir) => LinkGraph.docBfsHops(s, dir)),
 
+    // weighted shortest path (Bellman-Ford rounds): exact min cost over
+    // <= R-edge paths from the seed set, all-BIGINT; one equi-join + one
+    // map-side-combined min-groupBy per round
+    "q120_sssp" -> ((s, dir) => LinkGraph.docSssp(s, dir)),
+
     // ST_MakeLine + ST_Length class: per-page geo-entity trail length in
     // floor-scaled 1e-6-degree units — one url exchange serves both the
     // lag window and the aggregation; bit-exact via IEEE sqrt
@@ -395,6 +400,14 @@ object SparkEntry {
     // stays BIGINT-exact; one fact exchange (the cell groupBy), then
     // lattice-sized broadcast self-join for the queen weights
     "q117_moran" -> ((s, dir) => SpatialStats.moranNumerators(s, ents(s, dir))),
+
+    // local Moran (LISA): per-cell deviation + queen lag + scatterplot
+    // quadrant — the hot/cold-spot map; same single-fact-exchange shape
+    "q118_local_moran" -> ((s, dir) => SpatialStats.localMoran(s, ents(s, dir))),
+
+    // join-count statistics: B/W cell surface, directed queen adjacency
+    // counts by class pair (BB clustering / WW / BW mixing)
+    "q119_join_counts" -> ((s, dir) => SpatialStats.joinCounts(s, ents(s, dir))),
 
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass

@@ -220,6 +220,69 @@ object LinkGraph {
        | FROM documents n LEFT JOIN m USING (doc_id)"""
       .stripMargin.replace("\n", " ")
 
+  /** q120 relaxation-round cap. */
+  val SsspRounds = 4
+
+  /** Deterministic integer edge weight in [1, 9] — closed-form from the
+    * endpoints so the oracle re-derives it (crawl-cost proxy). */
+  private def edgeWeight = lit(1L) + (col("src") * 7 + col("dst") * 13) % 9
+
+  /** Weighted single-source (multi-seed) shortest path, Bellman-Ford
+    * style: after `rounds` relaxations every node holds the exact min
+    * cost over directed paths of <= `rounds` edges from any seed (-1 if
+    * none) — BFS's weighted sibling, the crawl-cost / link-distance prior.
+    *
+    * Scale shape — one equi-join + one map-side-combinable min-groupBy per
+    * round, nothing driver-side: the dist table (<= |V| rows) joins edges
+    * on src, candidates union the previous table, min per node;
+    * localCheckpoint per round keeps lineage flat (same discipline as
+    * [[pageRank]]/[[bfsHops]]). All-BIGINT costs, so the result
+    * hash-checks against the oracle's capped recursive closure. A
+    * frontier-only variant (relax just improved nodes, the delta-stepping
+    * direction) drops per-round join size once the graph saturates —
+    * worth it past ~10^9 edges; at fixed small `rounds` the full-table
+    * relax is one exchange either way. */
+  def sssp(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+           rounds: Int = SsspRounds): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.withColumn("w", edgeWeight).localCheckpoint()
+    var dist = seeds.select(col("doc_id"), lit(0L).as("d")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = dist.join(e, dist("doc_id") === e("src"))
+        .select(col("dst").as("doc_id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(cand)
+        .groupBy("doc_id").agg(min("d").as("d")).localCheckpoint()
+    }
+    nodes.join(dist, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("d"), lit(-1L)).as("dist"))
+  }
+
+  /** q120 entry: weighted shortest path from the % [[BfsSeedMod]] seed
+    * set over the synthetic link graph. */
+  def docSssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    sssp(docs.select("doc_id"), synthEdges(docs),
+      docs.filter(col("doc_id") % BfsSeedMod === 0).select("doc_id"))
+  }
+
+  /** DuckDB replica of [[docSssp]]: same closed-form edges + weights,
+    * cost-carrying capped recursive closure, min cost per node. */
+  def ssspSql(rounds: Int = SsspRounds): String =
+    s"""WITH RECURSIVE nn AS (SELECT count(*) AS n_docs FROM documents),
+       | e AS (SELECT src, dst, 1 + (src * 7 + dst * 13) % 9 AS w FROM (
+       |   SELECT DISTINCT src, dst FROM (
+       |     SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+       |     FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+       |     WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst)),
+       | r(v, c, h) AS (SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents
+       |     WHERE doc_id % $BfsSeedMod = 0
+       |   UNION SELECT e.dst, r.c + e.w, r.h + 1 FROM r JOIN e ON e.src = r.v
+       |     WHERE r.h < $rounds),
+       | m AS (SELECT v AS doc_id, min(c) AS c FROM r GROUP BY v)
+       | SELECT doc_id, CAST(COALESCE(m.c, -1) AS BIGINT) AS dist
+       | FROM documents n LEFT JOIN m USING (doc_id)"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB replica of [[docTriangles]]: same closed-form edges, same
     * degree orientation (explicit OR/AND form, not tuple compare, so both
     * engines evaluate the identical predicate), same one-wedge-per-

@@ -37,23 +37,9 @@ object SpatialStats {
 
   /** One row: (n_cells, t, sum_z2, w_sum, sum_wzz) — all BIGINT, exact. */
   def moranNumerators(spark: SparkSession, ents: DataFrame): DataFrame = {
-    val counts = ents.select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
-      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
-    val lattice = spark.range(NCells)
-      .select((col("id") / Grid).cast("long").as("cx"), (col("id") % Grid).as("cy"))
-    val tot = ents.agg(count(lit(1)).as("t"))
-    val cells = Scalars.join(
-      lattice.join(counts, Seq("cx", "cy"), "left").na.fill(0L, Seq("n")), tot)
-      .select(col("cx"), col("cy"), col("t"), (lit(NCells) * col("n") - col("t")).as("z"))
+    val cells = zCells(spark, ents)
     val zOnly = cells.select(col("cx"), col("cy"), col("z"))
-    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
-    val nb = zOnly
-      .select(col("cx"), col("cy"), col("z").as("zi"),
-        explode(array(offsets.map { case (dx, dy) =>
-          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
-        }: _*)).as("o"))
-      .select((col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"), col("zi"))
-    val pairAgg = nb.join(broadcast(zOnly), Seq("cx", "cy"))
+    val pairAgg = neighborPairs(zOnly)
       .agg(count(lit(1)).as("w_sum"), sum(col("zi") * col("z")).as("sum_wzz"))
     val cellAgg = cells.agg(count(lit(1)).as("n_cells"), max(col("t")).as("t"),
       sum(col("z") * col("z")).as("sum_z2"))
@@ -61,9 +47,83 @@ object SpatialStats {
       .select("n_cells", "t", "sum_z2", "w_sum", "sum_wzz")
   }
 
-  /** DuckDB replica: same lattice, same scaled deviations, same queen
-    * join; the five scalars come back as one row. */
-  def moranNumeratorsSql(entsCte: String, lonExpr: String, latExpr: String): String = {
+  /** Local Moran (LISA, Anselin 1995): per-cell I_i numerators — the
+    * hot-spot/cold-spot map the global statistic summarizes. Emits every
+    * lattice cell with its scaled deviation `z`, its queen-neighbor lag
+    * `sum_wz = sum_j w_ij Z_j`, and the Moran-scatterplot quadrant
+    * (HH hot spot, LL cold spot, HL/LH spatial outliers, Z0 on an axis).
+    * I_i itself is z*lag / normalizer — left to the consumer so the
+    * driver hash stays BIGINT/VARCHAR-exact.
+    *
+    * Scale shape: identical to [[moranNumerators]] — one fact exchange,
+    * then lattice-sized (<= N rows) broadcast work. */
+  def localMoran(spark: SparkSession, ents: DataFrame): DataFrame = {
+    val cells = zCells(spark, ents)
+    val zOnly = cells.select(col("cx"), col("cy"), col("z"))
+    val lag = neighborPairs(zOnly)
+      .groupBy("cx", "cy").agg(sum("zi").as("sum_wz"))
+    cells.join(lag, Seq("cx", "cy"), "left").na.fill(0L, Seq("sum_wz"))
+      .select(col("cx"), col("cy"), col("z"), col("sum_wz"),
+        when(col("z") > 0 && col("sum_wz") > 0, "HH")
+          .when(col("z") < 0 && col("sum_wz") < 0, "LL")
+          .when(col("z") > 0 && col("sum_wz") < 0, "HL")
+          .when(col("z") < 0 && col("sum_wz") > 0, "LH")
+          .otherwise("Z0").as("quad"))
+  }
+
+  /** Join-count statistics (Cliff & Ord): classify each cell Black if it
+    * holds >= minPts points else White, then count DIRECTED queen
+    * adjacencies by class pair — BB clustering, WW empty-space
+    * contiguity, BW the mixing term (symmetric, so BB/WW are even and
+    * BW covers both orders). Three BIGINT rows; the z-test denominators
+    * are functions of these counts plus [[moranNumerators]]'s w_sum. */
+  def joinCounts(spark: SparkSession, ents: DataFrame, minPts: Long = 3L): DataFrame = {
+    val cls = zCells(spark, ents)
+      .select(col("cx"), col("cy"),
+        when(col("n") >= minPts, "B").otherwise("W").as("c"))
+    val nb = cls
+      .select(col("cx"), col("cy"), col("c").as("ci"),
+        explode(offsetArray).as("o"))
+      .select((col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"), col("ci"))
+    nb.join(broadcast(cls), Seq("cx", "cy"))
+      .select(when(col("ci") === "B" && col("c") === "B", "BB")
+        .when(col("ci") === "W" && col("c") === "W", "WW")
+        .otherwise("BW").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lattice cells with raw count `n`, total `t`, and scaled deviation
+    * `z = N*n - t` — the shared first stage (ONE fact-table exchange). */
+  private def zCells(spark: SparkSession, ents: DataFrame): DataFrame = {
+    val counts = ents.select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val lattice = spark.range(NCells)
+      .select((col("id") / Grid).cast("long").as("cx"), (col("id") % Grid).as("cy"))
+    val tot = ents.agg(count(lit(1)).as("t"))
+    Scalars.join(
+      lattice.join(counts, Seq("cx", "cy"), "left").na.fill(0L, Seq("n")), tot)
+      .select(col("cx"), col("cy"), col("n"), col("t"),
+        (lit(NCells) * col("n") - col("t")).as("z"))
+  }
+
+  private val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+  private def offsetArray: Column =
+    array(offsets.map { case (dx, dy) =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    }: _*)
+
+  /** (cx, cy, zi) rows addressed at each queen NEIGHBOR of the source
+    * cell — joining back to the lattice on (cx, cy) pairs zi with zj. */
+  private def neighborPairs(zOnly: DataFrame): DataFrame =
+    zOnly
+      .select(col("cx"), col("cy"), col("z").as("zi"), explode(offsetArray).as("o"))
+      .select((col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"), col("zi"))
+      .join(broadcast(zOnly), Seq("cx", "cy"))
+
+  /** Shared CTE prefix: points → counts → lattice → totals → scaled
+    * deviations + the queen-offset table (the SQL mirror of [[zCells]]). */
+  private def latticeCtes(entsCte: String, lonExpr: String, latExpr: String): String = {
     val cx = s"greatest(0, least(${Grid - 1}, CAST(floor(($lonExpr + 180.0) / 360.0 * $Grid) AS BIGINT)))"
     val cy = s"greatest(0, least(${Grid - 1}, CAST(floor(($latExpr + 90.0) / 180.0 * $Grid) AS BIGINT)))"
     s"""WITH $entsCte,
@@ -72,10 +132,17 @@ object SpatialStats {
        | lat AS (SELECT i // $Grid AS cx, i % $Grid AS cy
        |   FROM (SELECT unnest(range($NCells)) AS i)),
        | tot AS (SELECT count(*) AS t FROM pts),
-       | z AS (SELECT l.cx, l.cy, $NCells * coalesce(c.n, 0) - t.t AS z
+       | z AS (SELECT l.cx, l.cy, coalesce(c.n, 0) AS n,
+       |     $NCells * coalesce(c.n, 0) - t.t AS z
        |   FROM lat l LEFT JOIN counts c ON l.cx = c.cx AND l.cy = c.cy CROSS JOIN tot t),
        | offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
-       |   AS o(dx, dy)),
+       |   AS o(dx, dy))""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB replica: same lattice, same scaled deviations, same queen
+    * join; the five scalars come back as one row. */
+  def moranNumeratorsSql(entsCte: String, lonExpr: String, latExpr: String): String =
+    s"""${latticeCtes(entsCte, lonExpr, latExpr)},
        | pairs AS (SELECT a.z AS zi, b.z AS zj FROM z a CROSS JOIN offs o
        |   JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy)
        | SELECT CAST((SELECT count(*) FROM z) AS BIGINT) AS n_cells,
@@ -84,5 +151,35 @@ object SpatialStats {
        |   CAST((SELECT count(*) FROM pairs) AS BIGINT) AS w_sum,
        |   CAST((SELECT sum(zi * zj) FROM pairs) AS BIGINT) AS sum_wzz"""
       .stripMargin.replace("\n", " ")
-  }
+
+  /** DuckDB replica of [[localMoran]]: per-cell deviation, queen lag, and
+    * scatterplot quadrant. */
+  def localMoranSql(entsCte: String, lonExpr: String, latExpr: String): String =
+    s"""${latticeCtes(entsCte, lonExpr, latExpr)},
+       | lag AS (SELECT b.cx, b.cy, sum(a.z) AS sum_wz
+       |   FROM z a CROSS JOIN offs o
+       |   JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy GROUP BY 1, 2)
+       | SELECT g.cx, g.cy, CAST(g.z AS BIGINT) AS z,
+       |   CAST(coalesce(l.sum_wz, 0) AS BIGINT) AS sum_wz,
+       |   CASE WHEN g.z > 0 AND coalesce(l.sum_wz, 0) > 0 THEN 'HH'
+       |        WHEN g.z < 0 AND coalesce(l.sum_wz, 0) < 0 THEN 'LL'
+       |        WHEN g.z > 0 AND coalesce(l.sum_wz, 0) < 0 THEN 'HL'
+       |        WHEN g.z < 0 AND coalesce(l.sum_wz, 0) > 0 THEN 'LH'
+       |        ELSE 'Z0' END AS quad
+       | FROM z g LEFT JOIN lag l ON l.cx = g.cx AND l.cy = g.cy"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB replica of [[joinCounts]]: B/W classification + directed
+    * queen-adjacency class-pair counts. */
+  def joinCountsSql(entsCte: String, lonExpr: String, latExpr: String,
+                    minPts: Long = 3L): String =
+    s"""${latticeCtes(entsCte, lonExpr, latExpr)},
+       | cls AS (SELECT cx, cy, CASE WHEN n >= $minPts THEN 'B' ELSE 'W' END AS c FROM z),
+       | prs AS (SELECT a.c AS ci, b.c AS cj FROM cls a CROSS JOIN offs o
+       |   JOIN cls b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy)
+       | SELECT CASE WHEN ci = 'B' AND cj = 'B' THEN 'BB'
+       |             WHEN ci = 'W' AND cj = 'W' THEN 'WW'
+       |             ELSE 'BW' END AS pair, CAST(count(*) AS BIGINT) AS cnt
+       | FROM prs GROUP BY 1"""
+      .stripMargin.replace("\n", " ")
 }

@@ -120,4 +120,62 @@ class LinkGraphSpec extends AnyFunSuite with SparkTest {
     assert(got(0L) === 1 && got(1L) === 1 && got(2L) === 1)
     assert((3L to 100L).forall(got(_) === 0))
   }
+
+  test("SSSP == brute-force Bellman-Ford on the sf fixture graph") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val n = docs.count().toInt
+    val edges = (0 until n).flatMap { i =>
+      (0L to 2 + i % 3).map(j => (i.toLong, (i * 31 + j * 17 + 7) % n))
+    }.filter { case (s, d) => s != d }.distinct
+    val w = edges.map { case (s, d) => (s, d) -> (1L + (s * 7 + d * 13) % 9) }.toMap
+    var dist = (0 until n).map(i =>
+      i.toLong -> (if (i % graft.ops.LinkGraph.BfsSeedMod == 0) 0L else Long.MaxValue)).toMap
+    for (_ <- 1 to graft.ops.LinkGraph.SsspRounds) {
+      val relaxed = edges.filter { case (s, _) => dist(s) != Long.MaxValue }
+        .groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => dist(s) + w((s, d)) }.min
+        }
+      dist = dist.map { case (v, c) => v -> math.min(c, relaxed.getOrElse(v, Long.MaxValue)) }
+    }
+    val got = graft.ops.LinkGraph.docSssp(spark, Sf).as[(Long, Long)].collect().toMap
+    assert(got.size === n)
+    (0 until n).foreach { i =>
+      val want = if (dist(i.toLong) == Long.MaxValue) -1L else dist(i.toLong)
+      assert(got(i.toLong) === want, s"doc $i")
+    }
+    // the fixture must exercise real weighted choice: some node's cost must
+    // differ from (min hop count) — i.e. not all weights behave like 1
+    val hops = graft.ops.LinkGraph.docBfsHops(spark, Sf).as[(Long, Long)].collect().toMap
+    assert((0 until n).exists(i => got(i.toLong) > 0 && got(i.toLong) != hops(i.toLong)))
+  }
+
+  test("SSSP: cheaper 2-hop path beats the direct edge; the round cap bounds path length") {
+    import spark.implicits._
+    // weights are closed-form 1+(7s+13d)%9: direct (0,4) costs 8, the
+    // detour 0->3->4 costs 4+2=6 — relaxation must pick the detour
+    val nodes = (0L to 9L).toDF("doc_id")
+    val seeds = Seq(0L).toDF("doc_id")
+    def wt(s: Long, d: Long) = 1L + (s * 7 + d * 13) % 9
+    val edgePairs = Seq((0L, 4L), (0L, 3L), (3L, 4L), (4L, 5L), (5L, 7L), (7L, 8L), (8L, 9L))
+    val direct = wt(0, 4)
+    val detour = wt(0, 3) + wt(3, 4)
+    assert(detour < direct, s"fixture must exercise relaxation: direct=$direct detour=$detour")
+    val got = graft.ops.LinkGraph.sssp(nodes, edgePairs.toDF("src", "dst"), seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === 0L && got(3L) === wt(0, 3))
+    assert(got(4L) === detour, "min cost over <= 3-edge paths")
+    // node 5: detour+w45 (3 edges) beats direct+w45 (2 edges)
+    assert(got(5L) === detour + wt(4, 5))
+    // node 7 needs 3 edges via the DIRECT route (the cheaper 4-edge route
+    // is outside the cap): bounded-path semantics, not full shortest path
+    assert(got(7L) === direct + wt(4, 5) + wt(5, 7))
+    assert(got(8L) === -1L && got(9L) === -1L, "past the round cap")
+    // a larger cap admits the cheap route to 7 and reaches 8/9
+    val full = graft.ops.LinkGraph.sssp(nodes, edgePairs.toDF("src", "dst"), seeds, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(full(7L) === detour + wt(4, 5) + wt(5, 7))
+    assert(full(9L) === detour + wt(4, 5) + wt(5, 7) + wt(7, 8) + wt(8, 9))
+    assert(full(6L) === -1L, "isolated node stays unreached")
+  }
 }

@@ -52,6 +52,66 @@ class SpatialStatsSpec extends AnyFunSuite with SparkTest {
     assert(got._4 === expected)
   }
 
+  test("localMoran matches brute force; lags sum to the global cross-product; quadrants consistent") {
+    import spark.implicits._
+    val pts = (0 until 300).map { i =>
+      ((i * 2.7182818 % 340.0) - 170.0, (i * 1.4142135 % 160.0) - 80.0)
+    } ++ (0 until 150).map(i => (-60.1 + i * 0.002, 30.4 + i * 0.001))
+    val got = SpatialStats.localMoran(spark, pts.toDF("lon", "lat"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got.size === N)
+    // brute force z and lag per cell
+    val counts = pts.map { case (lon, lat) => cell(lon, lat) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val t = pts.size.toLong
+    val z = (for { cx <- 0L until G; cy <- 0L until G }
+      yield (cx, cy) -> (N * counts.getOrElse((cx, cy), 0L) - t)).toMap
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    var globalWzz = 0L
+    for (((cx, cy), zi) <- z) {
+      val lag = offs.flatMap { case (dx, dy) => z.get((cx + dx, cy + dy)) }.sum
+      val quad =
+        if (zi > 0 && lag > 0) "HH" else if (zi < 0 && lag < 0) "LL"
+        else if (zi > 0 && lag < 0) "HL" else if (zi < 0 && lag > 0) "LH" else "Z0"
+      assert(got((cx, cy)) === ((zi, lag, quad)), s"cell ($cx, $cy)")
+      globalWzz += zi * lag
+    }
+    // the per-cell lags reassemble the global Moran numerator
+    val (_, _, _, _, wzz) = SpatialStats.moranNumerators(spark, pts.toDF("lon", "lat"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(globalWzz === wzz)
+  }
+
+  test("joinCounts matches brute force; directed counts cover every adjacency; BB/WW even") {
+    import spark.implicits._
+    val pts = (0 until 250).map { i =>
+      ((i * 3.1415926 % 340.0) - 170.0, (i * 0.5772156 % 160.0) - 80.0)
+    } ++ (0 until 90).map(i => (100.2 + (i % 9) * 0.01, -20.3 + (i / 9) * 0.01))
+    val minPts = 3L
+    val got = SpatialStats.joinCounts(spark, pts.toDF("lon", "lat"), minPts)
+      .as[(String, Long)].collect().toMap
+    val counts = pts.map { case (lon, lat) => cell(lon, lat) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cls = (for { cx <- 0L until G; cy <- 0L until G }
+      yield (cx, cy) -> (if (counts.getOrElse((cx, cy), 0L) >= minPts) "B" else "W")).toMap
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    var bb = 0L; var ww = 0L; var bw = 0L
+    for (((cx, cy), ci) <- cls; (dx, dy) <- offs; cj <- cls.get((cx + dx, cy + dy))) {
+      (ci, cj) match {
+        case ("B", "B") => bb += 1
+        case ("W", "W") => ww += 1
+        case _          => bw += 1
+      }
+    }
+    assert(got.getOrElse("BB", 0L) === bb)
+    assert(got.getOrElse("WW", 0L) === ww)
+    assert(got.getOrElse("BW", 0L) === bw)
+    val expectedW = 4L * 3 + 4L * (G - 2) * 5 + (G - 2L) * (G - 2L) * 8
+    assert(bb + ww + bw === expectedW, "class pairs partition the adjacency set")
+    assert(bb % 2 === 0 && ww % 2 === 0 && bw % 2 === 0, "directed symmetry")
+  }
+
   test("clustered input yields positive autocorrelation; Moran's I in (-1, 1] band") {
     import spark.implicits._
     // a tight cluster: all mass in one 2x2 block of cells
