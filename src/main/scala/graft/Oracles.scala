@@ -294,6 +294,15 @@ object Oracles {
     // join counts: B/W surface + directed class-pair adjacency counts
     "q119_join_counts" -> graft.ops.SpatialStats.joinCountsSql(entsCte, eLon, eLat),
 
+    // Gi*: inclusive-neighborhood sums + N-scaled numerator and sign
+    "q121_getis_ord" -> graft.ops.SpatialStats.getisOrdSql(entsCte, eLon, eLat),
+
+    // DBSCAN: same coord collapse + block pair join + recursive closure CC
+    "q122_dbscan" -> graft.ops.PointPattern.dbscanSql(entsCte),
+
+    // Ripley's K: same pair CTE at r_max, per-radius weighted sums - T
+    "q123_ripley_k" -> graft.ops.PointPattern.ripleySql(entsCte),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -409,6 +409,22 @@ object SparkEntry {
     // counts by class pair (BB clustering / WW / BW mixing)
     "q119_join_counts" -> ((s, dir) => SpatialStats.joinCounts(s, ents(s, dir))),
 
+    // Getis-Ord Gi*: inclusive-neighborhood intensity hot/cold spots —
+    // the statistic that flags a uniform hot block's interior where
+    // LISA's deviation product reads zero; same one-exchange shape
+    "q121_getis_ord" -> ((s, dir) => SpatialStats.getisOrd(s, ents(s, dir))),
+
+    // exact point-pair DBSCAN (ST_ClusterDBSCAN): distinct-coord collapse,
+    // eps-block pair join, CC over core coords, min-label borders — all
+    // BIGINT lattice math, deterministic labels
+    "q122_dbscan" -> ((s, dir) =>
+      PointPattern.dbscan(ents(s, dir).select("url", "ent_idx", "lonm", "latm"))),
+
+    // Ripley's K numerators: exact ordered-pair counts at 4 radii from ONE
+    // blocked pair join at r_max — the point-pattern clustering function
+    "q123_ripley_k" -> ((s, dir) =>
+      PointPattern.ripleyPairs(ents(s, dir).select("lonm", "latm"))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING

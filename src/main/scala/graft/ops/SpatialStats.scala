@@ -92,6 +92,35 @@ object SpatialStats {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Getis-Ord Gi* (Ord & Getis 1995): per-cell hot/cold-spot statistic
+    * over the INCLUSIVE queen neighborhood (self + 8 neighbors — the
+    * star variant). Emits exact BIGINT numerators: `wi` (in-lattice
+    * neighborhood size, 4/6/9 by edge position), `gsum` (points in the
+    * neighborhood), and `znum = N*gsum - wi*T` — the Gi* numerator
+    * scaled by N, whose sign classifies HOT/COLD; the variance
+    * denominator is a function of (wi, t, n_cells) the consumer divides
+    * once. Differs from [[localMoran]] exactly as Gi* differs from LISA:
+    * it measures neighborhood INTENSITY (sum vs expectation), not
+    * value-similarity cross-products, so it flags a uniform hot block's
+    * interior that LISA's deviation-product misses.
+    *
+    * Scale shape: same as the rest of the family — one fact exchange
+    * into [[zCells]], then lattice-sized broadcast work. */
+  def getisOrd(spark: SparkSession, ents: DataFrame): DataFrame = {
+    val cells = zCells(spark, ents)
+    val nb = cells
+      .select(col("cx"), col("cy"), col("n").as("ni"), explode(offsetArraySelf).as("o"))
+      .select((col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"), col("ni"))
+      .join(broadcast(cells.select(col("cx"), col("cy"))), Seq("cx", "cy"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("wi"), sum("ni").as("gsum"))
+    nb.join(broadcast(cells.select(col("cx"), col("cy"), col("t"))), Seq("cx", "cy"))
+      .select(col("cx"), col("cy"), col("wi"), col("gsum"),
+        (lit(NCells) * col("gsum") - col("wi") * col("t")).as("znum"))
+      .withColumn("cls",
+        when(col("znum") > 0, "HOT").when(col("znum") < 0, "COLD").otherwise("ZERO"))
+  }
+
   /** Lattice cells with raw count `n`, total `t`, and scaled deviation
     * `z = N*n - t` — the shared first stage (ONE fact-table exchange). */
   private def zCells(spark: SparkSession, ents: DataFrame): DataFrame = {
@@ -110,6 +139,12 @@ object SpatialStats {
 
   private def offsetArray: Column =
     array(offsets.map { case (dx, dy) =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    }: _*)
+
+  /** Queen offsets plus self — Gi*'s inclusive neighborhood. */
+  private def offsetArraySelf: Column =
+    array((offsets :+ ((0, 0))).map { case (dx, dy) =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
     }: _*)
 
@@ -167,6 +202,23 @@ object SpatialStats {
        |        WHEN g.z < 0 AND coalesce(l.sum_wz, 0) > 0 THEN 'LH'
        |        ELSE 'Z0' END AS quad
        | FROM z g LEFT JOIN lag l ON l.cx = g.cx AND l.cy = g.cy"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB replica of [[getisOrd]]: inclusive-neighborhood size, point
+    * sum, and the N-scaled Gi* numerator with its sign class. */
+  def getisOrdSql(entsCte: String, lonExpr: String, latExpr: String): String =
+    s"""${latticeCtes(entsCte, lonExpr, latExpr)},
+       | offs9 AS (SELECT * FROM offs UNION ALL SELECT 0, 0),
+       | g AS (SELECT b.cx, b.cy, count(*) AS wi, sum(a.n) AS gsum
+       |   FROM z a CROSS JOIN offs9 o
+       |   JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy GROUP BY 1, 2)
+       | SELECT g.cx, g.cy, CAST(g.wi AS BIGINT) AS wi,
+       |   CAST(g.gsum AS BIGINT) AS gsum,
+       |   CAST($NCells * g.gsum - g.wi * t.t AS BIGINT) AS znum,
+       |   CASE WHEN $NCells * g.gsum - g.wi * t.t > 0 THEN 'HOT'
+       |        WHEN $NCells * g.gsum - g.wi * t.t < 0 THEN 'COLD'
+       |        ELSE 'ZERO' END AS cls
+       | FROM g CROSS JOIN tot t"""
       .stripMargin.replace("\n", " ")
 
   /** DuckDB replica of [[joinCounts]]: B/W classification + directed

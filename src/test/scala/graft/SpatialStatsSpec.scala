@@ -112,6 +112,45 @@ class SpatialStatsSpec extends AnyFunSuite with SparkTest {
     assert(bb % 2 === 0 && ww % 2 === 0 && bw % 2 === 0, "directed symmetry")
   }
 
+  test("getisOrd matches brute force; uniform hot block interior is HOT where LISA reads the sign of z alone") {
+    import spark.implicits._
+    // a uniform 4x4 hot block (every cell the same elevated count) plus
+    // scattered background: Gi* must flag the block INTERIOR as HOT
+    val block = for {
+      bx <- 0 until 4; by <- 0 until 4; k <- 0 until 5
+    } yield (10.0 + bx * (360.0 / G) + 0.01 + k * 0.001, 20.0 + by * (180.0 / G) + 0.01)
+    val pts = block ++ (0 until 120).map { i =>
+      ((i * 2.2360679 % 340.0) - 170.0, (i * 1.7320508 % 160.0) - 80.0)
+    }
+    val got = SpatialStats.getisOrd(spark, pts.toDF("lon", "lat"))
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got.size === N)
+    val counts = pts.map { case (lon, lat) => cell(lon, lat) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val t = pts.size.toLong
+    val offs9 = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1), (0, 0))
+    for { cx <- 0L until G; cy <- 0L until G } {
+      val nbs = offs9.map { case (dx, dy) => (cx + dx, cy + dy) }
+        .filter { case (x, y) => x >= 0 && x < G && y >= 0 && y < G }
+      val wi = nbs.size.toLong
+      val gsum = nbs.map(counts.getOrElse(_, 0L)).sum
+      val znum = N * gsum - wi * t
+      val cls = if (znum > 0) "HOT" else if (znum < 0) "COLD" else "ZERO"
+      assert(got((cx, cy)) === ((wi, gsum, znum, cls)), s"cell ($cx, $cy)")
+    }
+    // the block's interior cell: every neighborhood cell holds exactly 5
+    // points — its Gi* must be HOT (intensity), distinguishing it from a
+    // lone spike's neighbor
+    val (icx, icy) = cell(10.0 + 1 * (360.0 / G) + 0.01, 20.0 + 1 * (180.0 / G) + 0.01)
+    assert(got((icx, icy))._4 === "HOT")
+    assert(got((icx, icy))._2 === 45L, "9-cell inclusive neighborhood x 5 points")
+    // corner/edge/interior neighborhood sizes
+    assert(got((0L, 0L))._1 === 4L)
+    assert(got((0L, 5L))._1 === 6L)
+    assert(got((5L, 5L))._1 === 9L)
+  }
+
   test("clustered input yields positive autocorrelation; Moran's I in (-1, 1] band") {
     import spark.implicits._
     // a tight cluster: all mass in one 2x2 block of cells
