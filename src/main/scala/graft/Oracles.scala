@@ -303,6 +303,9 @@ object Oracles {
     // Ripley's K: same pair CTE at r_max, per-radius weighted sums - T
     "q123_ripley_k" -> graft.ops.PointPattern.ripleySql(entsCte),
 
+    // 1-NN distance: quadratic coord self-join (fine at oracle scale)
+    "q124_nn_dist" -> graft.ops.PointPattern.nnDistanceSql(entsCte),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -425,6 +425,12 @@ object SparkEntry {
     "q123_ripley_k" -> ((s, dir) =>
       PointPattern.ripleyPairs(ents(s, dir).select("lonm", "latm"))),
 
+    // exact 1-NN self-distance (Clark-Evans primitive): co-located points
+    // resolve from the coord collapse; the rest via radius-doubling
+    // blocked joins (<= 8 rounds to the world diagonal)
+    "q124_nn_dist" -> ((s, dir) =>
+      PointPattern.nnDistance(ents(s, dir).select("url", "ent_idx", "lonm", "latm"))),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING

@@ -60,17 +60,22 @@ object PointPattern {
 
   /** All DIRECTED coord pairs within `eps` (including a==b, d2=0):
     * (ax, ay, ma, cx, cy, mc, d2). Block side = eps; 3x3 neighborhood. */
-  private def epsPairs(cs: DataFrame, eps: Long): DataFrame = {
+  private def epsPairs(cs: DataFrame, eps: Long): DataFrame =
+    epsPairsLR(cs, cs, eps)
+
+  /** Blocked pair join between two coord sets (lonm, latm, m): every
+    * (a in `ls`, c in `rs`) pair with d2 <= eps^2, each exactly once. */
+  private def epsPairsLR(ls: DataFrame, rs: DataFrame, eps: Long): DataFrame = {
     require(eps >= 1, s"eps must be >= 1 lattice unit: $eps")
     val offs = for { dx <- -1 to 1; dy <- -1 to 1 }
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
-    val left = cs
+    val left = ls
       .select(col("lonm").as("ax"), col("latm").as("ay"), col("m").as("ma"),
         explode(array(offs: _*)).as("o"),
         expr(s"lonm div ${eps}L").as("bx0"), expr(s"latm div ${eps}L").as("by0"))
       .select(col("ax"), col("ay"), col("ma"),
         (col("bx0") + col("o.dx")).as("bx"), (col("by0") + col("o.dy")).as("by"))
-    val right = cs.select(col("lonm").as("cx"), col("latm").as("cy"), col("m").as("mc"),
+    val right = rs.select(col("lonm").as("cx"), col("latm").as("cy"), col("m").as("mc"),
       expr(s"lonm div ${eps}L").as("bx"), expr(s"latm div ${eps}L").as("by"))
     val d2 = (col("ax") - col("cx")) * (col("ax") - col("cx")) +
       (col("ay") - col("cy")) * (col("ay") - col("cy"))
@@ -143,7 +148,71 @@ object PointPattern {
     rows.reduce(_ unionAll _)
   }
 
+  /** Exact 1-NN self-distance per point (the Clark-Evans nearest-neighbor
+    * primitive): squared L2 lattice distance to the nearest OTHER point —
+    * 0 for any point sharing its exact coord with another (multiplicity
+    * >= 2), -1 only if the dataset holds a single distinct coord.
+    *
+    * Scale shape: co-located points resolve instantly from the coord
+    * collapse (no pairs at all — at web scale that is most of the mass);
+    * the rest resolve by RADIUS-GROWING blocked joins: each round joins
+    * the still-unresolved coords (left) against all coords (right) at
+    * radius 16*32^k — complete within the radius, so the min is the true
+    * NN once any pair is found. <= 3 rounds reach the world diagonal
+    * regardless of data; each round's left side shrinks to the points
+    * whose NN is farther than the previous radius (isolated stragglers).
+    * The per-round `isEmpty` driver check is bounded by those 3 rounds —
+    * same discipline as the BFS/CC round loops. */
+  def nnDistance(pts: DataFrame): DataFrame = {
+    val cs = coords(pts).localCheckpoint()
+    var resolved = cs.filter(col("m") >= 2)
+      .select(col("lonm"), col("latm"), lit(0L).as("nnd2"))
+    var unresolved = cs.filter(col("m") === 1)
+      .select("lonm", "latm", "m").localCheckpoint()
+    var r = 16L
+    // world span is 7200 x 2800 lattice units -> diagonal < 7727; x32
+    // growth caps the loop at 3 rounds (16, 512, 16384) — each round is
+    // ~3 sequential Spark jobs of fixed latency, so round count is the
+    // dominant small-data cost. Candidate density stays bounded: the
+    // left side is only coords whose NN exceeded the previous radius,
+    // and a packing argument caps coords with pairwise distance > r_prev
+    // at (r/r_prev)^2 per block (~1k at x32), while dense areas resolve
+    // at the multiplicity stage or in the first round
+    while (r <= 16384L && !unresolved.isEmpty) {
+      val found = epsPairsLR(unresolved, cs, r)
+        .filter(col("ax") =!= col("cx") || col("ay") =!= col("cy"))
+        .groupBy("ax", "ay").agg(min("d2").as("nnd2"))
+        .select(col("ax").as("lonm"), col("ay").as("latm"), col("nnd2"))
+        .localCheckpoint()
+      resolved = resolved.unionAll(found)
+      unresolved = unresolved.join(found, Seq("lonm", "latm"), "left_anti")
+        .localCheckpoint()
+      r *= 32
+    }
+    pts.join(resolved, Seq("lonm", "latm"), "left")
+      .select(col("url"), col("ent_idx").cast("long").as("ent_idx"),
+        coalesce(col("nnd2"), lit(-1L)).as("nnd2"))
+  }
+
   // ---- DuckDB replicas (identical integer op sequence) ----
+
+  /** DuckDB replica of [[nnDistance]]: quadratic coord self-join is fine
+    * at oracle scale. */
+  def nnDistanceSql(entsCte: String): String =
+    s"""WITH $entsCte,
+       | cs AS (SELECT lonm, latm, count(*) AS m FROM ents e GROUP BY 1, 2),
+       | mind AS (SELECT a.lonm, a.latm,
+       |     min((a.lonm - b.lonm) * (a.lonm - b.lonm)
+       |       + (a.latm - b.latm) * (a.latm - b.latm)) AS d2
+       |   FROM cs a JOIN cs b ON NOT (a.lonm = b.lonm AND a.latm = b.latm)
+       |   GROUP BY 1, 2),
+       | nn AS (SELECT c.lonm, c.latm,
+       |     CASE WHEN c.m >= 2 THEN 0 ELSE coalesce(d.d2, -1) END AS nnd2
+       |   FROM cs c LEFT JOIN mind d ON d.lonm = c.lonm AND d.latm = c.latm)
+       | SELECT e.url, CAST(e.ent_idx AS BIGINT) AS ent_idx,
+       |   CAST(n.nnd2 AS BIGINT) AS nnd2
+       | FROM ents e JOIN nn n ON n.lonm = e.lonm AND n.latm = e.latm"""
+      .stripMargin.replace("\n", " ")
 
   /** Shared pair CTEs over `ents e` (lonm/latm columns): distinct coords
     * with multiplicity, block keys at `block`, directed pairs within

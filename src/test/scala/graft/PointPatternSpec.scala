@@ -101,6 +101,52 @@ class PointPatternSpec extends AnyFunSuite with SparkTest {
     assert(lbls.exists(_ >= 0L), "clusters exist")
   }
 
+  test("nnDistance == brute force; co-located = 0; far stragglers resolve in late rounds") {
+    import spark.implicits._
+    // two co-located points, a tight pair, and stragglers whose NN is
+    // past the first (r=16) round — exercising the multiplicity
+    // shortcut and multiple radius-growing rounds
+    val pts: Seq[(Long, Long)] = Seq(
+      (10L, 10L), (10L, 10L),       // multiplicity -> 0
+      (20L, 10L), (21L, 10L),       // d2 = 1 (round 1)
+      (100L, 100L), (105L, 100L),   // d2 = 25 (round 2: r=8)
+      (3000L, 2000L),               // NN far away (late round)
+      (5000L, 300L))                // NN far away (late round)
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (s"u$i", i.toLong, x, y) }
+      .toDF("url", "ent_idx", "lonm", "latm")
+    val got = PointPattern.nnDistance(df)
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      val want =
+        if (pts.count(_ == ((x, y))) >= 2) 0L
+        else pts.filter(_ != ((x, y)))
+          .map { case (bx, by) => (x - bx) * (x - bx) + (y - by) * (y - by) }.min
+      assert(got(i.toLong) === want, s"point $i at ($x, $y)")
+    }
+    assert(got(0L) === 0L && got(1L) === 0L)
+    assert(got(2L) === 1L && got(5L) === 25L)
+    assert(got(6L) > 64L, "straggler unresolved by round 2")
+  }
+
+  test("nnDistance == brute force on the whole sf fixture") {
+    import spark.implicits._
+    val ents = graft.Pipeline.entities(spark, Sf)
+      .select(col("url"), col("ent_idx").cast("long").as("ent_idx"), col("lonm"), col("latm"))
+    val rows = ents.as[(String, Long, Long, Long)].collect()
+    val coords = rows.map(r => (r._3, r._4))
+    val mult = coords.groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = PointPattern.nnDistance(ents)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val distinct = mult.keys.toArray
+    rows.foreach { case (url, idx, x, y) =>
+      val want =
+        if (mult((x, y)) >= 2) 0L
+        else distinct.filter(_ != ((x, y)))
+          .map { case (bx, by) => (x - bx) * (x - bx) + (y - by) * (y - by) }.min
+      assert(got((url, idx)) === want, s"$url#$idx at ($x, $y)")
+    }
+  }
+
   test("ripleyPairs == brute-force quadratic count; monotone in r; self-pairs excluded") {
     import spark.implicits._
     val pts: Seq[(Long, Long)] = (0 until 60).map { i =>
