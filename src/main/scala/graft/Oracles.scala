@@ -306,6 +306,15 @@ object Oracles {
     // 1-NN distance: quadratic coord self-join (fine at oracle scale)
     "q124_nn_dist" -> graft.ops.PointPattern.nnDistanceSql(entsCte),
 
+    // KDE surface: same 5x5 window, same integer kernel
+    "q125_kde" -> graft.ops.KernelDensity.surfaceSql(entsCte),
+
+    // trail segmentation: same lag + running-sum windows, same threshold
+    "q126_trail_segments" -> graft.ops.GeoMeasure.trailSegmentsSql(entsCte),
+
+    // cross-K: class-split coord collapses, one blocked join at r_max
+    "q127_cross_k" -> graft.ops.PointPattern.crossKSql(entsCte, "e.lang", "en"),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

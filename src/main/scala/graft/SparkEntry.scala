@@ -426,10 +426,25 @@ object SparkEntry {
       PointPattern.ripleyPairs(ents(s, dir).select("lonm", "latm"))),
 
     // exact 1-NN self-distance (Clark-Evans primitive): co-located points
-    // resolve from the coord collapse; the rest via radius-doubling
-    // blocked joins (<= 8 rounds to the world diagonal)
+    // resolve from the coord collapse; the rest via radius-growing
+    // blocked joins (<= 3 rounds to the world diagonal)
     "q124_nn_dist" -> ((s, dir) =>
       PointPattern.nnDistance(ents(s, dir).select("url", "ent_idx", "lonm", "latm"))),
+
+    // kernel density surface (heatmap): integer Epanechnikov-class kernel
+    // over 32-unit cells — constant 5x5 explode + one combined groupBy
+    "q125_kde" -> ((s, dir) =>
+      KernelDensity.surface(ents(s, dir).select("lonm", "latm"))),
+
+    // trajectory gap segmentation: spatial gaps-and-islands per url trail,
+    // one url exchange serving both windows and the aggregate
+    "q126_trail_segments" -> ((s, dir) =>
+      GeoMeasure.trailSegments(ents(s, dir).select("url", "ent_idx", "lonm", "latm"))),
+
+    // bivariate cross-K (co-location mining): en-vs-rest ordered pairs at
+    // two radii from one blocked pair join
+    "q127_cross_k" -> ((s, dir) =>
+      PointPattern.crossK(ents(s, dir).select("lonm", "latm", "lang"), "lang", "en")),
 
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass

@@ -148,6 +148,34 @@ object PointPattern {
     rows.reduce(_ unionAll _)
   }
 
+  /** q127 radii (lattice units). */
+  val CrossKRadii = Seq(2L, 8L)
+
+  /** Bivariate (cross-type) Ripley's K numerators — co-location mining:
+    * for each radius, the exact count of ordered (A-point, B-point) pairs
+    * within distance r, where A = rows with `clsCol` == `aVal` and B = the
+    * rest. Classes are disjoint, so there is no self-pair correction.
+    * Output (r, pairs), BIGINT; K_AB(r) = area/(n_A n_B) * pairs.
+    *
+    * Scale shape: two class-filtered coord collapses (each map-side
+    * combined), ONE blocked pair join at r_max, per-radius conditional
+    * sums — same cost structure as [[ripleyPairs]]. */
+  def crossK(pts: DataFrame, clsCol: String, aVal: String,
+             radii: Seq[Long] = CrossKRadii): DataFrame = {
+    require(radii.nonEmpty && radii.forall(_ >= 1))
+    val a = coords(pts.filter(col(clsCol) === aVal).select("lonm", "latm"))
+    val b = coords(pts.filter(col(clsCol) =!= aVal).select("lonm", "latm"))
+    val prs = epsPairsLR(a, b, radii.max)
+    val perR = radii.map { r =>
+      sum(when(col("d2") <= r * r, col("ma") * col("mc")).otherwise(0L))
+        .as(s"s$r")
+    }
+    val sums = prs.agg(perR.head, perR.tail: _*)
+    radii.map { r =>
+      sums.select(lit(r).as("r"), coalesce(col(s"s$r"), lit(0L)).as("pairs"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Exact 1-NN self-distance per point (the Clark-Evans nearest-neighbor
     * primitive): squared L2 lattice distance to the nearest OTHER point —
     * 0 for any point sharing its exact coord with another (multiplicity
@@ -254,6 +282,31 @@ object PointPattern {
        |   CAST(coalesce(l.lbl, -1) AS BIGINT) AS cluster
        | FROM ents e LEFT JOIN labels l ON l.k = e.lonm * $KeyMul + e.latm"""
       .stripMargin.replace("\n", " ")
+
+  /** DuckDB replica of [[crossK]] (`clsExpr` references alias `e`). */
+  def crossKSql(entsCte: String, clsExpr: String, aVal: String,
+                radii: Seq[Long] = CrossKRadii): String = {
+    val rmax = radii.max
+    val arms = radii.map { r =>
+      s"SELECT $r AS r, CAST(coalesce((SELECT sum(ma * mc) FROM prs WHERE d2 <= ${r * r}), 0) AS BIGINT) AS pairs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $entsCte,
+       | ca AS (SELECT lonm, latm, count(*) AS m, lonm // $rmax AS bx,
+       |   latm // $rmax AS by FROM ents e WHERE $clsExpr = '$aVal' GROUP BY 1, 2),
+       | cb AS (SELECT lonm, latm, count(*) AS m, lonm // $rmax AS bx,
+       |   latm // $rmax AS by FROM ents e WHERE $clsExpr <> '$aVal' GROUP BY 1, 2),
+       | offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+       |   AS o(dx, dy)),
+       | prs AS (SELECT a.m AS ma, b.m AS mc,
+       |     (a.lonm - b.lonm) * (a.lonm - b.lonm)
+       |       + (a.latm - b.latm) * (a.latm - b.latm) AS d2
+       |   FROM ca a CROSS JOIN offs o
+       |   JOIN cb b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
+       |   WHERE (a.lonm - b.lonm) * (a.lonm - b.lonm)
+       |       + (a.latm - b.latm) * (a.latm - b.latm) <= ${rmax * rmax})
+       | $arms"""
+      .stripMargin.replace("\n", " ")
+  }
 
   /** DuckDB replica of [[ripleyPairs]]. */
   def ripleySql(entsCte: String, radii: Seq[Long] = RipleyRadii): String = {

@@ -120,3 +120,61 @@ object Raster {
       |  FROM polys) a) b
       | WHERE abs(ix / 20.0 - cx) + abs(iy / 20.0 - cy) <= r)""".stripMargin.replace("\n", " ")
 }
+
+/** Kernel density surface (heatmap generation) over the exact coordinate
+  * lattice — the raster output every extraction atlas renders: each point
+  * spreads an Epanechnikov-CLASS integer kernel w = R^2 - d^2 (R = 64
+  * lattice units) onto the 32-unit output cells whose centers fall inside
+  * the radius, summed per cell. The kernel is exact BIGINT end to end
+  * (centers and coords are integers), so the surface hash-checks — the
+  * float normalization constant (3/(pi R^2) for true Epanechnikov) is the
+  * consumer's one division.
+  *
+  * Scale shape: a CONSTANT 5x5 cell-window explode per point (the 64-unit
+  * radius cannot reach past 2 cells of 32), then ONE map-side-combinable
+  * groupBy on the cell key — identical cost structure to [[rasterize]];
+  * output is bounded by the 225x88 cell grid regardless of input size.
+  */
+object KernelDensity {
+
+  /** Output cell side in lattice units; grid is 225 x 88. */
+  val Cell = 32L
+  /** Kernel radius 64 lattice units, squared. */
+  val R2 = 4096L
+  val MaxCx = 7199L / 32L // 224
+  val MaxCy = 2799L / 32L // 87
+
+  /** @param pts rows with exact lattice coords (lonm, latm)
+    * @return (cx, cy, w): cells with positive kernel mass, exact BIGINT */
+  def surface(pts: DataFrame): DataFrame = {
+    val offs = for { k <- -2 to 2; j <- -2 to 2 }
+      yield struct(lit(k.toLong).as("k"), lit(j.toLong).as("j"))
+    val dx = col("cx") * Cell + 16L - col("lonm")
+    val dy = col("cy") * Cell + 16L - col("latm")
+    pts
+      .select(col("lonm"), col("latm"), explode(array(offs: _*)).as("o"))
+      .select(col("lonm"), col("latm"),
+        (expr(s"lonm div ${Cell}L") + col("o.k")).as("cx"),
+        (expr(s"latm div ${Cell}L") + col("o.j")).as("cy"))
+      .filter(col("cx") >= 0 && col("cx") <= MaxCx &&
+        col("cy") >= 0 && col("cy") <= MaxCy)
+      .filter(dx * dx + dy * dy < R2)
+      .groupBy("cx", "cy")
+      .agg(sum(lit(R2) - (dx * dx + dy * dy)).as("w"))
+  }
+
+  /** DuckDB replica: same 5x5 window, same integer kernel. */
+  def surfaceSql(entsCte: String): String =
+    s"""WITH $entsCte,
+       | pc AS (SELECT lonm, latm FROM ents e),
+       | offs AS (SELECT k.k, j.j FROM (SELECT unnest(range(-2, 3)) AS k) k
+       |   CROSS JOIN (SELECT unnest(range(-2, 3)) AS j) j),
+       | cand AS (SELECT lonm // $Cell + o.k AS cx, latm // $Cell + o.j AS cy,
+       |     lonm, latm FROM pc CROSS JOIN offs o),
+       | filt AS (SELECT cx, cy, cx * $Cell + 16 - lonm AS dx,
+       |     cy * $Cell + 16 - latm AS dy FROM cand
+       |   WHERE cx >= 0 AND cx <= $MaxCx AND cy >= 0 AND cy <= $MaxCy)
+       | SELECT cx, cy, CAST(sum($R2 - (dx * dx + dy * dy)) AS BIGINT) AS w
+       | FROM filt WHERE dx * dx + dy * dy < $R2 GROUP BY 1, 2"""
+      .stripMargin.replace("\n", " ")
+}

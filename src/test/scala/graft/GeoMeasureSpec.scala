@@ -51,4 +51,29 @@ class GeoMeasureSpec extends AnyFunSuite with SparkTest {
     assert(exchanges === 1,
       s"trackLength must shuffle exactly once on url, got $exchanges\n$explained")
   }
+
+  test("trailSegments == brute-force gaps-and-islands; threshold is strict >") {
+    import spark.implicits._
+    val t = GeoMeasure.GapD2 // 1,000,000 (d = 1000 units)
+    val rows = Seq[(String, Long, Long, Long)](
+      // a: tight pair, then a jump, then tight again -> 2 segments
+      ("a", 0L, 100L, 100L), ("a", 1L, 101L, 100L),
+      ("a", 2L, 5000L, 2000L), ("a", 3L, 5001L, 2001L),
+      // b: jump of EXACTLY d2 = threshold is NOT a gap (strict >)
+      ("b", 0L, 0L, 0L), ("b", 1L, 1000L, 0L),
+      // c: single point
+      ("c", 7L, 42L, 42L),
+      // d: every step a gap -> one segment per point
+      ("d", 0L, 0L, 0L), ("d", 1L, 2000L, 0L), ("d", 2L, 4000L, 2000L))
+    val got = GeoMeasure.trailSegments(rows.toDF("url", "ent_idx", "lonm", "latm"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", 0L)) === ((2L, 0L, 1L)))
+    assert(got(("a", 1L)) === ((2L, 2L, 3L)))
+    assert(got(("b", 0L)) === ((2L, 0L, 1L)), "d2 == threshold stays one segment")
+    assert(got(("c", 0L)) === ((1L, 7L, 7L)))
+    assert(got(("d", 0L)) === ((1L, 0L, 0L)) && got(("d", 1L)) === ((1L, 1L, 1L))
+      && got(("d", 2L)) === ((1L, 2L, 2L)))
+    assert(got.size === 7)
+  }
 }

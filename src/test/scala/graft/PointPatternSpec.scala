@@ -147,6 +147,30 @@ class PointPatternSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("crossK == brute-force quadratic cross count; disjoint classes need no self-pair correction") {
+    import spark.implicits._
+    val rows: Seq[(Long, Long, String)] =
+      (0 until 40).map(i => ((i * 37L) % 30, (i * 53L) % 25, "en")) ++
+        (0 until 50).map(i => ((i * 41L) % 30, (i * 59L) % 25, if (i % 2 == 0) "de" else "fr")) ++
+        (0 until 6).map(_ => (10L, 10L, "en")) ++ // stacked A points on a B coord
+        (0 until 4).map(_ => (10L, 10L, "zh"))
+    val df = rows.toDF("lonm", "latm", "lang")
+    val radii = Seq(2L, 8L)
+    val got = PointPattern.crossK(df, "lang", "en", radii)
+      .as[(Long, Long)].collect().toMap
+    radii.foreach { r =>
+      val want = (for {
+        (ax, ay, la) <- rows if la == "en"
+        (bx, by, lb) <- rows if lb != "en"
+        dx = ax - bx; dy = ay - by if dx * dx + dy * dy <= r * r
+      } yield 1L).sum
+      assert(got(r) === want, s"r=$r")
+    }
+    // the stacked coord alone contributes 6*4 = 24 zero-distance pairs
+    assert(got(2L) >= 24L)
+    assert(got(2L) <= got(8L), "monotone in r")
+  }
+
   test("ripleyPairs == brute-force quadratic count; monotone in r; self-pairs excluded") {
     import spark.implicits._
     val pts: Seq[(Long, Long)] = (0 until 60).map { i =>
