@@ -315,6 +315,12 @@ object Oracles {
     // cross-K: class-split coord collapses, one blocked join at r_max
     "q127_cross_k" -> graft.ops.PointPattern.crossKSql(entsCte, "e.lang", "en"),
 
+    // centrography: per-lang moment sums (HUGEINT casts)
+    "q128_centrography" -> graft.ops.Centrography.summarySql(entsCte),
+
+    // OD flows: same edges + k=0 location + clamped cell math
+    "q129_od_flows" -> graft.ops.FlowMap.odFlowsSql(),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -446,6 +446,16 @@ object SparkEntry {
     "q127_cross_k" -> ((s, dir) =>
       PointPattern.crossK(ents(s, dir).select("lonm", "latm", "lang"), "lang", "en")),
 
+    // centrography: per-language first/second moment numerators (mean
+    // center, standard distance, deviational ellipse) — one combined
+    // groupBy, the cheapest distributed statistic
+    "q128_centrography" -> ((s, dir) =>
+      Centrography.summary(ents(s, dir).select("lang", "lonm", "latm"))),
+
+    // OD flow matrix: link-graph edges -> 64x64 cell-pair flow counts —
+    // two shuffled equi-joins on doc_id + one bounded-key groupBy
+    "q129_od_flows" -> ((s, dir) => FlowMap.odFlows(s, dir)),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
