@@ -321,6 +321,9 @@ object Oracles {
     // OD flows: same edges + k=0 location + clamped cell math
     "q129_od_flows" -> graft.ops.FlowMap.odFlowsSql(),
 
+    // Mann-Kendall: same integer cells/day buckets, zero-filled domain
+    "q130_mann_kendall" -> graft.ops.SpaceTime.mannKendallSql(),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

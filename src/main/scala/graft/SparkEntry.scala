@@ -456,6 +456,11 @@ object SparkEntry {
     // two shuffled equi-joins on doc_id + one bounded-key groupBy
     "q129_od_flows" -> ((s, dir) => FlowMap.odFlows(s, dir)),
 
+    // space-time cube trend (emerging hot spots): exact Mann-Kendall S
+    // per cell over zero-filled daily counts — one fact exchange, then
+    // lattice x window bounded pair work
+    "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
+
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass
     // hot-key pattern; output provably equals the plain GROUP BY HAVING
