@@ -298,6 +298,8 @@ object Oracles {
     "q121_getis_ord" -> graft.ops.SpatialStats.getisOrdSql(entsCte, eLon, eLat),
 
     // DBSCAN: same coord collapse + block pair join + recursive closure CC
+    "q131_geary" -> graft.ops.SpatialStats.gearyNumeratorsSql(entsCte, eLon, eLat),
+
     "q122_dbscan" -> graft.ops.PointPattern.dbscanSql(entsCte),
 
     // Ripley's K: same pair CTE at r_max, per-radius weighted sums - T
@@ -323,6 +325,8 @@ object Oracles {
 
     // Mann-Kendall: same integer cells/day buckets, zero-filled domain
     "q130_mann_kendall" -> graft.ops.SpaceTime.mannKendallSql(),
+
+    "q132_spatial_markov" -> graft.ops.SpaceTime.spatialMarkovSql(),
 
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 

@@ -414,6 +414,11 @@ object SparkEntry {
     // LISA's deviation product reads zero; same one-exchange shape
     "q121_getis_ord" -> ((s, dir) => SpatialStats.getisOrd(s, ents(s, dir))),
 
+    // Geary's C numerators: squared-difference autocorrelation (local
+    // edge contrast where Moran reads global covariance); same scaled
+    // BIGINT deviations, same single-fact-exchange lattice shape
+    "q131_geary" -> ((s, dir) => SpatialStats.gearyNumerators(s, ents(s, dir))),
+
     // exact point-pair DBSCAN (ST_ClusterDBSCAN): distinct-coord collapse,
     // eps-block pair join, CC over core coords, min-label borders — all
     // BIGINT lattice math, deterministic labels
@@ -460,6 +465,11 @@ object SparkEntry {
     // per cell over zero-filled daily counts — one fact exchange, then
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
+
+    // spatial Markov chain: class transitions over the space-time cube
+    // conditioned on the queen-lag class — one fact exchange, then
+    // cells x days bounded lag/successor joins
+    "q132_spatial_markov" -> ((s, dir) => SpaceTime.spatialMarkov(s, dir)),
 
     // exact heavy-hitter tokens: Misra-Gries candidate summary (k counters
     // per partition, mergeable) + broadcast exact confirm — the two-pass

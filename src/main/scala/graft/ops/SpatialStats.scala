@@ -47,6 +47,29 @@ object SpatialStats {
       .select("n_cells", "t", "sum_z2", "w_sum", "sum_wzz")
   }
 
+  /** Geary's C numerators (Geary 1954): the difference-based sibling of
+    * Moran's I — C = ((N-1)/(2W)) * sum_w (x_i - x_j)^2 / sum (x_i - xbar)^2.
+    * Where Moran's cross-product reads global covariance, Geary's squared
+    * difference is dominated by LOCAL edge contrast, so the two disagree
+    * exactly on surfaces with strong local gradients inside a globally
+    * flat field. Same scaled-deviation trick: (x_i - x_j) = (Z_i - Z_j)/N
+    * and the N^2 cancels against sum_z2's, so the emitted numerators
+    * (n_cells, t, sum_z2, w_sum, sum_wdd) are all exact BIGINT.
+    *
+    * Scale shape: identical to [[moranNumerators]] — one fact exchange,
+    * then lattice-sized broadcast work. */
+  def gearyNumerators(spark: SparkSession, ents: DataFrame): DataFrame = {
+    val cells = zCells(spark, ents)
+    val zOnly = cells.select(col("cx"), col("cy"), col("z"))
+    val d = col("zi") - col("z")
+    val pairAgg = neighborPairs(zOnly)
+      .agg(count(lit(1)).as("w_sum"), sum(d * d).as("sum_wdd"))
+    val cellAgg = cells.agg(count(lit(1)).as("n_cells"), max(col("t")).as("t"),
+      sum(col("z") * col("z")).as("sum_z2"))
+    Scalars.join(cellAgg, pairAgg)
+      .select("n_cells", "t", "sum_z2", "w_sum", "sum_wdd")
+  }
+
   /** Local Moran (LISA, Anselin 1995): per-cell I_i numerators — the
     * hot-spot/cold-spot map the global statistic summarizes. Emits every
     * lattice cell with its scaled deviation `z`, its queen-neighbor lag
@@ -185,6 +208,19 @@ object SpatialStats {
        |   CAST((SELECT sum(z * z) FROM z) AS BIGINT) AS sum_z2,
        |   CAST((SELECT count(*) FROM pairs) AS BIGINT) AS w_sum,
        |   CAST((SELECT sum(zi * zj) FROM pairs) AS BIGINT) AS sum_wzz"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB replica of [[gearyNumerators]]: same lattice and queen pairs,
+    * squared-difference numerator in place of the cross-product. */
+  def gearyNumeratorsSql(entsCte: String, lonExpr: String, latExpr: String): String =
+    s"""${latticeCtes(entsCte, lonExpr, latExpr)},
+       | pairs AS (SELECT a.z AS zi, b.z AS zj FROM z a CROSS JOIN offs o
+       |   JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy)
+       | SELECT CAST((SELECT count(*) FROM z) AS BIGINT) AS n_cells,
+       |   CAST((SELECT t FROM tot) AS BIGINT) AS t,
+       |   CAST((SELECT sum(z * z) FROM z) AS BIGINT) AS sum_z2,
+       |   CAST((SELECT count(*) FROM pairs) AS BIGINT) AS w_sum,
+       |   CAST((SELECT sum((zi - zj) * (zi - zj)) FROM pairs) AS BIGINT) AS sum_wdd"""
       .stripMargin.replace("\n", " ")
 
   /** DuckDB replica of [[localMoran]]: per-cell deviation, queen lag, and

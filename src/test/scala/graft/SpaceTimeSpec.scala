@@ -41,6 +41,31 @@ class SpaceTimeSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("spatialMarkov == brute force on the sf events fixture; transitions conserve cells x (days-1)") {
+    import spark.implicits._
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("user_id", s"unix_micros(CAST(ts AS TIMESTAMP)) div ${SpaceTime.DayUs}L")
+      .as[(Long, Long)].collect().toSeq
+    val byCellDay = evs.groupBy { case (u, d) => (cellOf(u), d) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val d0 = evs.map(_._2).min; val d1 = evs.map(_._2).max
+    val cells = byCellDay.keys.map(_._1).toSet
+    def n(c: (Long, Long), d: Long): Long = byCellDay.getOrElse((c, d), 0L)
+    val offs = Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+    def lag(c: (Long, Long), d: Long): Long =
+      offs.map { case (dx, dy) => n((c._1 + dx, c._2 + dy), d) }.sum
+    def cls(v: Long, hi: Long): String = if (v == 0) "Z" else if (v < hi) "L" else "H"
+    val want = (for {
+      c <- cells.toSeq; d <- d0 until d1
+    } yield (cls(lag(c, d), 9L), cls(n(c, d), 3L), cls(n(c, d + 1), 3L)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SpaceTime.spatialMarkov(spark, Sf)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got === want)
+    assert(got.values.sum === cells.size.toLong * (d1 - d0), "every (cell, day-pair) transitions exactly once")
+  }
+
   test("planted monotone series: rising cell reads UP, falling reads DOWN, flat reads FLAT") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("st_evt").toFile

@@ -151,6 +151,38 @@ class SpatialStatsSpec extends AnyFunSuite with SparkTest {
     assert(got((5L, 5L))._1 === 9L)
   }
 
+  test("gearyNumerators matches brute force and the degree identity vs Moran") {
+    import spark.implicits._
+    val pts = (0 until 350).map { i =>
+      ((i * 1.6180339 % 340.0) - 170.0, (i * 1.2599210 % 160.0) - 80.0)
+    } ++ (0 until 160).map(i => (-45.2 + i * 0.0015, 12.1 + i * 0.0011)) // hot cell
+    val got = SpatialStats.gearyNumerators(spark, pts.toDF("lon", "lat"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // brute force
+    val counts = pts.map { case (lon, lat) => cell(lon, lat) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val t = pts.size.toLong
+    val z = (for { cx <- 0L until G; cy <- 0L until G }
+      yield (cx, cy) -> (N * counts.getOrElse((cx, cy), 0L) - t)).toMap
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    var wSum = 0L; var wdd = 0L; var wzz = 0L; var degZ2 = 0L
+    for (((cx, cy), zi) <- z) {
+      val nbs = offs.flatMap { case (dx, dy) => z.get((cx + dx, cy + dy)) }
+      wSum += nbs.size
+      degZ2 += nbs.size * zi * zi
+      nbs.foreach { zj => wdd += (zi - zj) * (zi - zj); wzz += zi * zj }
+    }
+    assert(got === ((N, t, z.values.map(v => v * v).sum, wSum, wdd)))
+    // symmetric-weights identity: sum_w (Zi-Zj)^2 = 2 sum_i d_i Zi^2 - 2 sum_wzz
+    assert(wdd === 2 * degZ2 - 2 * wzz)
+    val (_, _, _, _, gotWzz) = SpatialStats.moranNumerators(spark, pts.toDF("lon", "lat"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotWzz === wzz)
+    // hot-cell surface: strong positive autocorrelation reads as C < 1
+    val gearyC = (got._1 - 1).toDouble / (2.0 * got._4) * got._5 / got._3
+    assert(gearyC >= 0.0 && gearyC < 1.0, s"C=$gearyC")
+  }
+
   test("clustered input yields positive autocorrelation; Moran's I in (-1, 1] band") {
     import spark.implicits._
     // a tight cluster: all mass in one 2x2 block of cells
