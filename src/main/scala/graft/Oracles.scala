@@ -328,6 +328,8 @@ object Oracles {
 
     "q132_spatial_markov" -> graft.ops.SpaceTime.spatialMarkovSql(),
 
+    "q133_hausdorff_pairs" -> graft.ops.TrajectorySim.hausdorffPairsSql(entsCte),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

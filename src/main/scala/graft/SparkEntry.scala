@@ -466,6 +466,12 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // trajectory similarity join: symmetric discrete Hausdorff^2 between
+    // co-started trails — start-block equi-join candidates, side-tagged
+    // max-of-mins in one pass, all-BIGINT squared lattice distances
+    "q133_hausdorff_pairs" -> ((s, dir) =>
+      TrajectorySim.hausdorffPairs(ents(s, dir).select("url", "ent_idx", "lonm", "latm"))),
+
     // spatial Markov chain: class transitions over the space-time cube
     // conditioned on the queen-lag class — one fact exchange, then
     // cells x days bounded lag/successor joins
