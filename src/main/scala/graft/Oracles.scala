@@ -330,6 +330,8 @@ object Oracles {
 
     "q133_hausdorff_pairs" -> graft.ops.TrajectorySim.hausdorffPairsSql(entsCte),
 
+    "q134_map_match" -> graft.ops.MapMatch.snapSql(entsCte, graft.ops.SegmentJoin.segmentsASql),
+
     "q104_heavy_hitters" -> graft.ops.HeavyHitters.tokenHeavyHittersSql(),
 
     "q88_cms_sketch" -> graft.ops.Sketches.cmsHeavyHittersSql(minCount = 50,

@@ -466,6 +466,13 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // map matching: snap each entity point to its nearest road segment
+    // within R — blocked equi-join candidates (fact side never amplifies),
+    // exact 2^-20 fixed-point rational distance, id tie-break argmin
+    "q134_map_match" -> ((s, dir) =>
+      MapMatch.snap(ents(s, dir).select("url", "ent_idx", "lonm", "latm"),
+        SegmentJoin.segmentsA(t(s, dir, "part")))),
+
     // trajectory similarity join: symmetric discrete Hausdorff^2 between
     // co-started trails — start-block equi-join candidates, side-tagged
     // max-of-mins in one pass, all-BIGINT squared lattice distances
