@@ -466,6 +466,13 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // dissolve (ST_Union + ST_Area per class): exact union area of the
+    // A-layer squares via stripe clipping + slab sweep + interval islands
+    // — overlaps counted once, all-BIGINT, stripes are the skew knob
+    "q135_dissolve_area" -> ((s, dir) =>
+      Dissolve.unionArea(OverlayJoin.squaresA(t(s, dir, "part"))
+        .selectExpr("a_id % 5 AS cls", "u0", "u1", "v0", "v1"))),
+
     // map matching: snap each entity point to its nearest road segment
     // within R — blocked equi-join candidates (fact side never amplifies),
     // exact 2^-20 fixed-point rational distance, id tie-break argmin

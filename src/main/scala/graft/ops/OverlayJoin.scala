@@ -87,6 +87,20 @@ object OverlayJoin {
   private val bCvSql = "((c_custkey * 97) % 360 - (c_custkey * 41) % 140) * 80 - 8800"
   private val bRSql = "128 + (c_custkey % 3) * 4"
 
+  /** The A-layer diamonds as axis-aligned (u,v) squares at 80x scale:
+    * (a_id, u0, u1, v0, v1) integer corners — the exact-rectangle input
+    * [[Dissolve.unionArea]] consumes. */
+  def squaresA(part: DataFrame): DataFrame = {
+    val (cu, cv, r) = aCols(col("p_partkey"))
+    part.select(col("p_partkey").as("a_id"),
+      (cu - r).as("u0"), (cu + r).as("u1"), (cv - r).as("v0"), (cv + r).as("v1"))
+  }
+
+  /** DuckDB fragment for [[squaresA]] (parenthesized subquery). */
+  val squaresASql: String =
+    s"(SELECT p_partkey AS a_id, $aCuSql - ($aRSql) AS u0, $aCuSql + ($aRSql) AS u1," +
+      s" $aCvSql - ($aRSql) AS v0, $aCvSql + ($aRSql) AS v1 FROM part)"
+
   /** (a_id, b_id, ia) for every diamond pair with positive-area overlap:
     * `ia = overlap_u * overlap_v` in squared 80x units (xy area =
     * ia / 12800). Grid candidates + reference-point dedup (exactly-once,
