@@ -332,6 +332,8 @@ object Oracles {
 
     "q134_map_match" -> graft.ops.MapMatch.snapSql(entsCte, graft.ops.SegmentJoin.segmentsASql),
 
+    "q136_novelty" -> graft.ops.Novelty.shingleNoveltySql(corpusShCte),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -466,6 +466,11 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // document n-gram novelty: per-doc distinct shingles + how many first
+    // appeared in an earlier doc — row-local shingling, one min over the
+    // shingle stream, one linear equi-join back (never a self-join)
+    "q136_novelty" -> ((s, dir) => Novelty.shingleNovelty(Dedup.corpus(s, dir))),
+
     // dissolve (ST_Union + ST_Area per class): exact union area of the
     // A-layer squares via stripe clipping + slab sweep + interval islands
     // — overlaps counted once, all-BIGINT, stripes are the skew knob
