@@ -466,6 +466,11 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // areal interpolation: transfer the entity count surface between
+    // misaligned zonings by exact intersection-area weights — one fact
+    // exchange, then <= 4 bounded target cells per source cell
+    "q137_areal_interp" -> ((s, dir) => ArealInterp.toTargetGrid(s, ents(s, dir))),
+
     // document n-gram novelty: per-doc distinct shingles + how many first
     // appeared in an earlier doc — row-local shingling, one min over the
     // shingle stream, one linear equi-join back (never a self-join)
