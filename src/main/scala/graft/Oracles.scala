@@ -336,6 +336,8 @@ object Oracles {
 
     "q137_areal_interp" -> graft.ops.ArealInterp.toTargetGridSql(entsCte),
 
+    "q138_st_dbscan" -> graft.ops.StDbscan.clusterSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

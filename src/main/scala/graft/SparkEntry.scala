@@ -466,6 +466,11 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // ST-DBSCAN: spatio-temporal density clustering of the event stream —
+    // the q122 shape lifted to 3D blocks (eps1, eps1, eps2); a place busy
+    // in two separated windows forms two clusters
+    "q138_st_dbscan" -> ((s, dir) => StDbscan.cluster(s, dir)),
+
     // areal interpolation: transfer the entity count surface between
     // misaligned zonings by exact intersection-area weights — one fact
     // exchange, then <= 4 bounded target cells per source cell
