@@ -338,6 +338,8 @@ object Oracles {
 
     "q138_st_dbscan" -> graft.ops.StDbscan.clusterSql(),
 
+    "q139_collocations" -> graft.ops.Collocations.pmiPairsSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

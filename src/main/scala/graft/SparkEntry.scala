@@ -466,6 +466,12 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // PMI collocations: adjacent-pair association numerators (phrase
+    // detection / BPE pair counts) — row-local bigrams, two map-side
+    // combinable counts, broadcast vocab joins
+    "q139_collocations" -> ((s, dir) =>
+      Collocations.pmiPairs(t(s, dir, "documents").select("doc_id", "text"))),
+
     // ST-DBSCAN: spatio-temporal density clustering of the event stream —
     // the q122 shape lifted to 3D blocks (eps1, eps1, eps2); a place busy
     // in two separated windows forms two clusters

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collocation mining — pointwise-mutual-information numerators for
+  * adjacent token pairs (the phrase-detection / tokenizer-merge-candidate
+  * pass every corpus pipeline runs; word2vec's phrase pass and BPE's
+  * pair-count step are this exact shape). PMI = log(N c_xy / (c_x c_y));
+  * the query emits the exact BIGINT factors (c_xy, c1, c2, n_tokens) and
+  * leaves the one log to the consumer so the output hash-checks.
+  *
+  * Scale shape: bigram construction is row-local (transform over the
+  * token array, no exchange); bigram and unigram counts are each ONE
+  * map-side-combinable groupBy; the two count joins are equi-joins on
+  * the word key against a vocab-sized side (broadcast at the
+  * [[Dedup]] <= 2M-entry discipline when small). The min-count filter
+  * bounds the output, not the aggregation — partial aggregation absorbs
+  * heavy-hitter pairs before the shuffle.
+  */
+object Collocations {
+
+  /** Emit only pairs seen at least this often. */
+  val MinCount = 3L
+
+  /** @param docs rows of (doc_id, text)
+    * @return (w1, w2, c_xy, c1, c2, n_tokens) for every adjacent pair
+    *         with c_xy >= MinCount — all counts BIGINT */
+  def pmiPairs(docs: DataFrame, minCount: Long = MinCount): DataFrame = {
+    val arr = filter(split(col("text"), " "), t => t =!= "")
+    // guard: sequence(0, n) DESCENDS for n < 0 — single-token docs get
+    // no bigrams (same discipline as Dedup.shingleArr)
+    val bigrams = when(size(arr) >= 2,
+      transform(sequence(lit(0), size(arr) - 2), i =>
+        struct(element_at(arr, i + 1).as("w1"), element_at(arr, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bcnt = docs.select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = docs.select(explode(arr).as("w"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(count(lit(1)).as("n_tokens"))
+    Scalars.join(
+      bcnt
+        .join(broadcast(ucnt.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+        .join(broadcast(ucnt.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2")),
+      n)
+      .select("w1", "w2", "c_xy", "c1", "c2", "n_tokens")
+  }
+
+  /** DuckDB replica: same tokenization, same counts and joins. */
+  def pmiPairsSql(minCount: Long = MinCount): String =
+    s"""WITH toka AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS a
+       |     FROM documents),
+       | uni AS (SELECT unnest(a) AS w FROM toka),
+       | ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+       | n AS (SELECT count(*) AS n_tokens FROM uni),
+       | big AS (SELECT a[i+1] AS w1, a[i+2] AS w2 FROM
+       |   (SELECT a, unnest(range(len(a) - 1)) AS i FROM toka WHERE len(a) >= 2) x),
+       | bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY 1, 2)
+       | SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+       |   CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+       |   CAST(n.n_tokens AS BIGINT) AS n_tokens
+       | FROM bcnt b JOIN ucnt u1 ON u1.w = b.w1 JOIN ucnt u2 ON u2.w = b.w2
+       | CROSS JOIN n WHERE b.c_xy >= $minCount"""
+      .stripMargin.replace("\n", " ")
+}
