@@ -340,6 +340,8 @@ object Oracles {
 
     "q139_collocations" -> graft.ops.Collocations.pmiPairsSql(),
 
+    "q140_cohort_retention" -> graft.ops.Cohorts.retentionSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -466,6 +466,10 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // cohort retention triangle: users grouped by first-activity day,
+    // (cohort, offset) counts — one fact exchange + users x days work
+    "q140_cohort_retention" -> ((s, dir) => Cohorts.retention(s, dir)),
+
     // PMI collocations: adjacent-pair association numerators (phrase
     // detection / BPE pair counts) — row-local bigrams, two map-side
     // combinable counts, broadcast vocab joins
