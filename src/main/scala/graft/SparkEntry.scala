@@ -466,6 +466,11 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // k-core decomposition: bounded-round peel to the dense link-graph
+    // nucleus — two semi-joins + one degree groupBy per round, output
+    // degrees are the >= k certificate
+    "q141_kcore" -> ((s, dir) => LinkGraph.docKCore(t(s, dir, "documents"))),
+
     // cohort retention triangle: users grouped by first-activity day,
     // (cohort, offset) counts — one fact exchange + users x days work
     "q140_cohort_retention" -> ((s, dir) => Cohorts.retention(s, dir)),
