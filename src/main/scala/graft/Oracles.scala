@@ -344,6 +344,8 @@ object Oracles {
 
     "q141_kcore" -> graft.ops.LinkGraph.kCoreSql(),
 
+    "q142_funnel" -> graft.ops.Funnel.depthSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -466,6 +466,11 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // funnel analysis: deepest view->click->purchase stage per user via
+    // chained conditional running-min windows — one user_id exchange
+    // serves the window chain and the per-user max
+    "q142_funnel" -> ((s, dir) => Funnel.depth(s, dir)),
+
     // k-core decomposition: bounded-round peel to the dense link-graph
     // nucleus — two semi-joins + one degree groupBy per round, output
     // degrees are the >= k certificate
