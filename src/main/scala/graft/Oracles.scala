@@ -346,6 +346,8 @@ object Oracles {
 
     "q142_funnel" -> graft.ops.Funnel.depthSql(),
 
+    "q143_gravity_flows" -> graft.ops.FlowMap.gravityResidualsSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -466,6 +466,11 @@ object SparkEntry {
     // lattice x window bounded pair work
     "q130_mann_kendall" -> ((s, dir) => SpaceTime.mannKendall(s, dir)),
 
+    // gravity-model flow anomalies: exact surplus flow*T - O*D per OD
+    // corridor (the PMI of flow maps) — lattice-bounded marginal work
+    // downstream of the q129 fact exchanges
+    "q143_gravity_flows" -> ((s, dir) => FlowMap.gravityResiduals(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

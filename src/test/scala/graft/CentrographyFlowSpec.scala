@@ -52,4 +52,29 @@ class CentrographyFlowSpec extends AnyFunSuite with SparkTest {
     assert(got.values.sum === edges.size.toLong, "flows partition the edge set")
     assert(got.size > 1, "multiple cell pairs")
   }
+
+  test("gravityResiduals: marginal laws and brute-force surplus on the fixture") {
+    import spark.implicits._
+    val flows = FlowMap.odFlows(spark, Sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4) -> r._5).toMap
+    val oTot = flows.groupBy { case ((sx, sy, _, _), _) => (sx, sy) }
+      .map { case (k, v) => k -> v.values.sum }
+    val dTot = flows.groupBy { case ((_, _, dx, dy), _) => (dx, dy) }
+      .map { case (k, v) => k -> v.values.sum }
+    val t = flows.values.sum
+    val got = FlowMap.gravityResiduals(spark, Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(got.length === flows.size)
+    got.foreach { r =>
+      val key = (r._1, r._2, r._3, r._4)
+      assert(r._5 === flows(key))
+      assert(r._6 === oTot((r._1, r._2)) && r._7 === dTot((r._3, r._4)) && r._8 === t)
+      assert(r._9 === r._5 * t - r._6 * r._7, s"surplus at $key")
+      val cls = if (r._9 > 0) "EXCESS" else if (r._9 < 0) "DEFICIT" else "NEUTRAL"
+      assert(r._10 === cls)
+    }
+    assert(got.exists(_._10 == "EXCESS") && got.exists(_._10 == "DEFICIT"),
+      "fixture shows both over- and under-represented corridors")
+  }
 }
