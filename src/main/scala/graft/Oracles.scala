@@ -348,6 +348,10 @@ object Oracles {
 
     "q143_gravity_flows" -> graft.ops.FlowMap.gravityResidualsSql(),
 
+    "q144_simhash_hamming" -> graft.ops.HammingDedup.hammingPairsSql(),
+
+    "q145_contact_pairs" -> graft.ops.ContactJoin.companionsSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -471,6 +471,18 @@ object SparkEntry {
     // downstream of the q129 fact exchanges
     "q143_gravity_flows" -> ((s, dir) => FlowMap.gravityResiduals(s, dir)),
 
+    // Manku WWW'07 SimHash near-dup join: 64-bit shingle SimHash,
+    // distinct-fingerprint collapse, pigeonhole-complete 4x16-bit band
+    // blocking at Hamming <= 3; oracle is BRUTE-FORCE all pairs, so
+    // hash-equality proves the banding complete, not just precise
+    "q144_simhash_hamming" -> ((s, dir) =>
+      HammingDedup.hammingPairs(HammingDedup.editedCorpus(s, dir))),
+
+    // space-time contact join: companion pairs sharing >= 2 distinct
+    // (cell, day) buckets, crowded buckets excluded — one (cell, day)
+    // exchange serves distinct + bucket profile + both join sides
+    "q145_contact_pairs" -> ((s, dir) => ContactJoin.companions(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max
