@@ -352,6 +352,8 @@ object Oracles {
 
     "q145_contact_pairs" -> graft.ops.ContactJoin.companionsSql(),
 
+    "q146_hits" -> graft.ops.LinkGraph.hitsSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -483,6 +483,10 @@ object SparkEntry {
     // exchange serves distinct + bucket profile + both join sides
     "q145_contact_pairs" -> ((s, dir) => ContactJoin.companions(s, dir)),
 
+    // HITS hubs & authorities: all-integer L1 normalization
+    // (raw * Scale div total — no float op anywhere), 3 rounds
+    "q146_hits" -> ((s, dir) => LinkGraph.docHits(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

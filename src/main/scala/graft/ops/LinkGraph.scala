@@ -379,4 +379,86 @@ object LinkGraph {
        |   JOIN a$rounds y ON y.doc_id = s.dst GROUP BY 1"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the two-sided
+    * companion of [[pageRank]]: a page is a good AUTHORITY when good hubs
+    * link to it and a good HUB when it links to good authorities; the
+    * mutual recursion separates directories/link lists from content
+    * pages, which one-sided PageRank cannot.
+    *
+    * Determinism: ENTIRELY integer — raw scores are BIGINT sums over
+    * in/out-neighbors, and the per-round L1 normalization is
+    * `floor(raw * Scale / total)` (integer multiply + integer div — no
+    * float op anywhere, unlike pageRank's floor-on-exact-double), so the
+    * fixpoint iterate hash-checks against the DuckDB replica. Overflow
+    * headroom: post-normalization scores sum to <= Scale * N, raw * Scale
+    * <= maxdeg * Scale^2 ~ 1e14 per row and totals <= 1e6 * N — BIGINT is
+    * safe past N = 1e12.
+    *
+    * Shape per round (x2 for the two sides): one equi-join of the score
+    * vector with the edge list + one map-side-combinable groupBy, then a
+    * scalar total broadcast ([[Scalars.join]] pins the broadcast-one-row
+    * form against constant folding). Standard HITS order: authorities
+    * from CURRENT hubs, then hubs from the NEW authorities. Edges are
+    * materialized once; nothing driver-side. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.localCheckpoint()
+    val n = nodes.select("doc_id")
+    var hub = n.select(col("doc_id"), lit(Scale).as("h"))
+    var auth = n.select(col("doc_id"), lit(Scale).as("a"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub, e("src") === hub("doc_id"))
+        .groupBy("dst").agg(sum("h").as("raw"))
+      auth = normalizeL1(n, araw.withColumnRenamed("dst", "doc_id"), "a")
+      val hraw = e.join(auth, e("dst") === auth("doc_id"))
+        .groupBy("src").agg(sum("a").as("raw"))
+      hub = normalizeL1(n, hraw.withColumnRenamed("src", "doc_id"), "h")
+    }
+    hub.join(auth, "doc_id").select("doc_id", "h", "a")
+  }
+
+  /** score = floor(raw * Scale / sum(raw)), 0 for nodes with no raw row. */
+  private def normalizeL1(nodes: DataFrame, raw: DataFrame, out: String): DataFrame = {
+    val tot = raw.agg(sum("raw").as("tot"))
+    Scalars.join(nodes.join(raw, Seq("doc_id"), "left"), tot)
+      .select(col("doc_id"),
+        coalesce(expr(s"raw * ${Scale}L div tot"), lit(0L)).as(out))
+  }
+
+  /** q146 entry: HITS over the synthetic link graph of `documents`. */
+  def docHits(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    hits(docs.select("doc_id"), synthEdges(docs), iters)
+  }
+
+  /** DuckDB replica of [[docHits]]: same edges, `iters` chained
+    * (authority, hub) CTE pairs with the identical integer op sequence. */
+  def hitsSql(iters: Int = 3): String = {
+    val base =
+      s"""nodes AS (SELECT doc_id FROM documents),
+         | nn AS (SELECT count(*) AS n_docs FROM documents),
+         | e AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+         |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+         |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+         | h0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS h FROM nodes),
+         | a0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS a FROM nodes)"""
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS doc_id, CAST(sum(p.h) AS BIGINT) AS raw
+         |   FROM h${k - 1} p JOIN e ON e.src = p.doc_id GROUP BY 1),
+         | a$k AS (SELECT n.doc_id, CAST(
+         |   COALESCE(ar.raw * $Scale // (SELECT CAST(sum(raw) AS BIGINT) FROM ar$k), 0)
+         |   AS BIGINT) AS a
+         |   FROM nodes n LEFT JOIN ar$k ar ON ar.doc_id = n.doc_id),
+         | hr$k AS (SELECT e.src AS doc_id, CAST(sum(p.a) AS BIGINT) AS raw
+         |   FROM a$k p JOIN e ON e.dst = p.doc_id GROUP BY 1),
+         | h$k AS (SELECT n.doc_id, CAST(
+         |   COALESCE(hr.raw * $Scale // (SELECT CAST(sum(raw) AS BIGINT) FROM hr$k), 0)
+         |   AS BIGINT) AS h
+         |   FROM nodes n LEFT JOIN hr$k hr ON hr.doc_id = n.doc_id)"""
+    }
+    (Seq("WITH " + base) ++ rounds).mkString(", ")
+      .stripMargin.replace("\n", " ") +
+      s" SELECT h.doc_id, h.h, a.a FROM h$iters h JOIN a$iters a USING (doc_id)"
+  }
 }
