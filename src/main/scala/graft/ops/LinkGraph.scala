@@ -417,10 +417,17 @@ object LinkGraph {
     hub.join(auth, "doc_id").select("doc_id", "h", "a")
   }
 
-  /** score = floor(raw * Scale / sum(raw)), 0 for nodes with no raw row. */
+  /** score = floor(raw * Scale / sum(raw)), 0 for nodes with no raw row.
+    * `raw` is materialized once (node-sized): BOTH the scalar total and
+    * the join probe read it, and without the cut the raw subtree — which
+    * by round k contains every earlier round — replays twice per
+    * normalization, compounding across rounds (the [[pageRank]] edge-
+    * checkpoint argument, but per round because HITS consumes each
+    * intermediate twice where PageRank consumes it once). */
   private def normalizeL1(nodes: DataFrame, raw: DataFrame, out: String): DataFrame = {
-    val tot = raw.agg(sum("raw").as("tot"))
-    Scalars.join(nodes.join(raw, Seq("doc_id"), "left"), tot)
+    val r = raw.localCheckpoint()
+    val tot = r.agg(sum("raw").as("tot"))
+    Scalars.join(nodes.join(r, Seq("doc_id"), "left"), tot)
       .select(col("doc_id"),
         coalesce(expr(s"raw * ${Scale}L div tot"), lit(0L)).as(out))
   }

@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * One-pass max-of-mins: rather than materializing the pair-point table
   * for two directed passes, each (pair, point-point) row is exploded into
-  * its two side tags ('a:'+ia, 'b:'+ib); min(d2) per (pair, side) is the
-  * per-point nearest distance in EITHER direction, and max over sides is
-  * exactly the symmetric Hausdorff. Both groupBys are map-side
-  * combinable, and the x2 explode happens before the partial aggregate.
+  * its two side tags (ia*2 on the A side, ib*2+1 on the B side — disjoint
+  * by parity, and a plain BIGINT so the hottest stream of the query never
+  * allocates a string key); min(d2) per (pair, side) is the per-point
+  * nearest distance in EITHER direction, and max over sides is exactly
+  * the symmetric Hausdorff. Both groupBys are map-side combinable, and
+  * the x2 explode happens before the partial aggregate.
   *
   * Scale shape: the fanout is bounded by (trails per block)^2 x (points
   * per trail)^2 — block size is the operator's skew knob, same as eps in
@@ -52,9 +54,7 @@ object TrajectorySim {
     val dy = col("ay") - col("by")
     pairs.join(pa, "url_a").join(pb, "url_b")
       .select(col("url_a"), col("url_b"), (dx * dx + dy * dy).as("d2"),
-        explode(array(
-          concat(lit("a:"), col("ia").cast("string")),
-          concat(lit("b:"), col("ib").cast("string")))).as("side"))
+        explode(array(col("ia") * 2, col("ib") * 2 + 1)).as("side"))
       .groupBy("url_a", "url_b", "side").agg(min("d2").as("m"))
       .groupBy("url_a", "url_b")
       .agg(count(lit(1)).as("n_sides"), max("m").as("h2"))
@@ -73,10 +73,10 @@ object TrajectorySim {
        |     (pa.lonm - pb.lonm) * (pa.lonm - pb.lonm)
        |       + (pa.latm - pb.latm) * (pa.latm - pb.latm) AS d2
        |   FROM prs p JOIN pt pa ON pa.url = p.ua JOIN pt pb ON pb.url = p.ub),
-       | sides AS (SELECT ua, ub, 'a:' || ia AS side, min(d2) AS m
+       | sides AS (SELECT ua, ub, ia * 2 AS side, min(d2) AS m
        |     FROM pp GROUP BY 1, 2, 3
        |   UNION ALL
-       |   SELECT ua, ub, 'b:' || ib AS side, min(d2) AS m
+       |   SELECT ua, ub, ib * 2 + 1 AS side, min(d2) AS m
        |     FROM pp GROUP BY 1, 2, 3)
        | SELECT ua AS url_a, ub AS url_b, count(*) AS n_sides,
        |   CAST(max(m) AS BIGINT) AS h2
