@@ -354,6 +354,10 @@ object Oracles {
 
     "q146_hits" -> graft.ops.LinkGraph.hitsSql(),
 
+    "q147_trustrank" -> graft.ops.LinkGraph.trustRankSql(),
+
+    "q148_assortativity" -> graft.ops.LinkGraph.assortativitySql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -487,6 +487,14 @@ object SparkEntry {
     // (raw * Scale div total — no float op anywhere), 3 rounds
     "q146_hits" -> ((s, dir) => LinkGraph.docHits(s, dir)),
 
+    // TrustRank: PageRank with teleport restricted to a trusted seed set
+    // (spam demotion) — same integer discipline and per-round plan as q86
+    "q147_trustrank" -> ((s, dir) => LinkGraph.docTrustRank(s, dir)),
+
+    // degree assortativity: one row of exact BIGINT moment sums over
+    // (outdeg(src), indeg(dst)) edge pairs — Pearson r left to the consumer
+    "q148_assortativity" -> ((s, dir) => LinkGraph.docAssortativity(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

@@ -468,4 +468,129 @@ object LinkGraph {
       .stripMargin.replace("\n", " ") +
       s" SELECT h.doc_id, h.h, a.a FROM h$iters h JOIN a$iters a USING (doc_id)"
   }
+
+  /** Seed selector for [[docTrustRank]]: every 47th doc is "manually
+    * vetted" (a deterministic stand-in for the human-reviewed seed list). */
+  val TrustSeedMod = 47L
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — PageRank
+    * with the teleport restricted to a trusted SEED set: trust flows out
+    * of the vetted pages along links and decays with distance, so spam
+    * farms — which PageRank's uniform teleport funds unconditionally —
+    * receive only what legitimate pages (mistakenly) link to them. The
+    * canonical web-corpus curation prior alongside [[pageRank]]; the same
+    * loop with a biased-teleport vector is personalized PageRank.
+    *
+    * Integer discipline identical to [[pageRank]] (floor(tr/deg)
+    * contributions, floor(0.85·s) damping — IEEE ops on exact integers,
+    * BIGINT sums, order-independent): seeds start at [[Scale]] and
+    * receive [[Teleport]] per round, everything else starts at 0 and
+    * receives only damped in-link mass. Same 2^53 headroom argument.
+    *
+    * Shape per round: one rank⋈edges equi-join + one map-side-combinable
+    * groupBy(dst) — the seed flag rides the node table (one extra
+    * node-sized column, no extra exchange). */
+  def trustRank(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                iters: Int = 5): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(outdeg, "src").localCheckpoint()
+    // node table with the per-round teleport vector (Teleport on seeds, 0
+    // elsewhere) — probed every round, so materialized once
+    val base = nodes.select("doc_id")
+      .join(seeds.select(col("doc_id"), lit(Teleport).as("tel")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("tel"), lit(0L)).as("tel"))
+      .localCheckpoint()
+    var tr = base.select(col("doc_id"),
+      when(col("tel") > 0, lit(Scale)).otherwise(lit(0L)).as("tr"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(tr, e("src") === tr("doc_id"))
+        .select(col("dst"), floor(col("tr") / col("deg")).cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      tr = base.join(sums, base("doc_id") === sums("dst"), "left")
+        .select(col("doc_id"),
+          (col("tel") + floor(lit(0.85) * coalesce(col("s"), lit(0L))).cast("long")).as("tr"))
+    }
+    tr
+  }
+
+  /** q147 entry: TrustRank over the synthetic link graph of `documents`,
+    * seeds = every [[TrustSeedMod]]-th doc. */
+  def docTrustRank(spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    trustRank(docs.select("doc_id"), synthEdges(docs),
+      docs.select("doc_id").filter(col("doc_id") % TrustSeedMod === 0), iters)
+  }
+
+  /** DuckDB replica of [[docTrustRank]]: same edges, same seed rule,
+    * `iters` chained trust CTEs with the identical op sequence. */
+  def trustRankSql(iters: Int = 5): String = {
+    val base =
+      s"""nodes AS (SELECT doc_id,
+         |   CASE WHEN doc_id % $TrustSeedMod = 0
+         |     THEN CAST($Teleport AS BIGINT) ELSE 0 END AS tel
+         |   FROM documents),
+         | nn AS (SELECT count(*) AS n_docs FROM documents),
+         | e AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+         |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+         |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+         | od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         | tr0 AS (SELECT doc_id, CASE WHEN tel > 0
+         |   THEN CAST($Scale AS BIGINT) ELSE 0 END AS tr FROM nodes)"""
+    val rounds = (1 to iters).map { k =>
+      s"""tr$k AS (SELECT n.doc_id,
+         |   n.tel + CAST(floor(0.85 * COALESCE(s.s, 0)) AS BIGINT) AS tr
+         | FROM nodes n LEFT JOIN (
+         |   SELECT e.dst AS doc_id, sum(CAST(floor(p.tr / od.deg) AS BIGINT)) AS s
+         |   FROM tr${k - 1} p JOIN od ON od.src = p.doc_id JOIN e ON e.src = p.doc_id
+         |   GROUP BY e.dst) s ON s.doc_id = n.doc_id)"""
+    }
+    (Seq("WITH " + base) ++ rounds).mkString(", ")
+      .stripMargin.replace("\n", " ") + s" SELECT doc_id, tr FROM tr$iters"
+  }
+
+  /** Degree assortativity numerators (Newman, PRL 2002) — do pages link
+    * to pages of similar connectivity? Positive mixing = core-periphery
+    * web structure; strongly negative = hub-and-spoke (or a link farm
+    * funneling into one target). Per directed edge, x = out-degree(src)
+    * and y = in-degree(dst); the output is ONE row of exact BIGINT moment
+    * sums (m, Σx, Σy, Σxy, Σx², Σy²) — the consumer computes Pearson
+    * r = (m·Σxy − Σx·Σy) / sqrt((m·Σx² − Σx²)(m·Σy² − Σy²)), the single
+    * float op left outside the engine (the [[Collocations]] discipline).
+    *
+    * Shape: edges materialized once and reused by both degree groupBys
+    * and the fact pass; two node-keyed equi-joins decorate each edge with
+    * its endpoint degrees; ONE global partial aggregate. Degree sums are
+    * ≤ maxdeg²·m — BIGINT-safe for any real web graph. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val od = e.groupBy("src").agg(count(lit(1)).as("x"))
+    val id = e.groupBy("dst").agg(count(lit(1)).as("y"))
+    e.join(od, "src").join(id, "dst")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+  }
+
+  /** q148 entry: assortativity over the synthetic link graph. */
+  def docAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativity(synthEdges(spark.read.parquet(s"$sfDir/documents.parquet")))
+
+  /** DuckDB replica of [[docAssortativity]]. */
+  def assortativitySql(): String =
+    s"""WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+       |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+       |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+       | od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+       | id AS (SELECT dst, count(*) AS y FROM e GROUP BY dst)
+       | SELECT count(*) AS m,
+       |   CAST(sum(od.x) AS BIGINT) AS sx, CAST(sum(id.y) AS BIGINT) AS sy,
+       |   CAST(sum(od.x * id.y) AS BIGINT) AS sxy,
+       |   CAST(sum(od.x * od.x) AS BIGINT) AS sx2,
+       |   CAST(sum(id.y * id.y) AS BIGINT) AS sy2
+       | FROM e JOIN od ON od.src = e.src JOIN id ON id.dst = e.dst"""
+      .stripMargin.replace("\n", " ")
 }
