@@ -358,6 +358,8 @@ object Oracles {
 
     "q148_assortativity" -> graft.ops.LinkGraph.assortativitySql(),
 
+    "q149_cocitation" -> graft.ops.LinkGraph.coCitationSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

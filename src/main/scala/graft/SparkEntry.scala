@@ -495,6 +495,11 @@ object SparkEntry {
     // (outdeg(src), indeg(dst)) edge pairs — Pearson r left to the consumer
     "q148_assortativity" -> ((s, dir) => LinkGraph.docAssortativity(s, dir)),
 
+    // co-citation "related pages": common-citer counts via an edges
+    // self-join on the citing page, out-degree-capped (navigation pages
+    // are no topical evidence AND are the quadratic fan-out rows)
+    "q149_cocitation" -> ((s, dir) => LinkGraph.docCoCitation(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

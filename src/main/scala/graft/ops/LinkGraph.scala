@@ -593,4 +593,56 @@ object LinkGraph {
        |   CAST(sum(id.y * id.y) AS BIGINT) AS sy2
        | FROM e JOIN od ON od.src = e.src JOIN id ON id.dst = e.dst"""
       .stripMargin.replace("\n", " ")
+
+  /** Co-citation cap: pages citing more than this are treated as
+    * navigation/link lists, not topical evidence. */
+  val CoCiteMaxOut = 64L
+
+  /** Minimum common citers for a pair to be "related". */
+  val CoCiteMin = 2L
+
+  /** Co-citation similarity (Small, JASIS 1973; the "related pages"
+    * primitive behind HITS communities and bipartite-core trawling) —
+    * two pages are related when many pages cite BOTH:
+    * cocite(a,b) = |in(a) ∩ in(b)|.
+    *
+    * Scale shape: candidates come from an edges SELF-JOIN ON THE CITING
+    * PAGE (equi-join on src — never an all-pairs product over targets);
+    * the fan-out is Σ outdeg², so the out-degree cap is a
+    * semantics-plus-scale guard in the [[ContactJoin]] mold: a mega-hub
+    * directory page is navigation, not evidence two targets are related,
+    * AND it is exactly the page whose deg² explodes the join — dropped
+    * rows change the SEMANTICS the oracle mirrors, not just the cost.
+    * One groupBy on the unordered pair, min-support filter, all BIGINT. */
+  def coCitation(edges: DataFrame, maxOutDeg: Long = CoCiteMaxOut,
+                 minCommon: Long = CoCiteMin): DataFrame = {
+    val e = edges.localCheckpoint()
+    val keep = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= maxOutDeg), "src")
+    val a = keep.select(col("src"), col("dst").as("doc_a"))
+    val b = keep.select(col("src"), col("dst").as("doc_b"))
+    a.join(b, "src").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** q149 entry: co-citation pairs over the synthetic link graph. */
+  def docCoCitation(spark: SparkSession, sfDir: String): DataFrame =
+    coCitation(synthEdges(spark.read.parquet(s"$sfDir/documents.parquet")))
+
+  /** DuckDB replica of [[docCoCitation]]. */
+  def coCitationSql(): String =
+    s"""WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+       |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+       |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+       | keep AS (SELECT e.src, e.dst FROM e JOIN (
+       |     SELECT src, count(*) AS deg FROM e GROUP BY src
+       |     HAVING count(*) <= $CoCiteMaxOut) d ON d.src = e.src)
+       | SELECT a.dst AS doc_a, b.dst AS doc_b, count(*) AS n_common
+       | FROM keep a JOIN keep b ON a.src = b.src AND a.dst < b.dst
+       | GROUP BY 1, 2 HAVING count(*) >= $CoCiteMin"""
+      .stripMargin.replace("\n", " ")
 }

@@ -70,4 +70,33 @@ class TrustRankSpec extends AnyFunSuite with SparkTest {
     assert(m === 10L)
     assert(m * sxy - sx * sy < 0L, "star graph: Pearson numerator must be negative")
   }
+
+  test("co-citation equals the brute force on the fixture graph") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val edges = LinkGraph.synthEdges(docs).as[(Long, Long)].collect()
+    val want = edges.groupBy(_._1).values
+      .flatMap { out =>
+        val ds = out.map(_._2).sorted
+        for (i <- ds.indices; j <- i + 1 until ds.length) yield (ds(i), ds(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= LinkGraph.CoCiteMin)
+      .map { case ((a, b), n) => (a, b, n) }.toSet
+    assert(want.nonEmpty, "fixture must exercise the min-support filter")
+    val got = LinkGraph.docCoCitation(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("co-citation cap: a planted mega-hub's pairs are excluded") {
+    import spark.implicits._
+    // hub 99 cites 0..9 (deg 10 > cap 4); honest pages 1,2 both cite {5,6}
+    val edges = ((0L to 9L).map(99L -> _) ++
+      Seq(1L -> 5L, 1L -> 6L, 2L -> 5L, 2L -> 6L)).toDF("src", "dst")
+    val r = LinkGraph.coCitation(edges, maxOutDeg = 4, minCommon = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r === Set((5L, 6L, 2L)),
+      "only the honest co-citation survives; the hub's 45 pairs are dropped")
+  }
 }
