@@ -1,6 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.{GraftShim => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 /** Trajectory similarity join — discrete symmetric Hausdorff distance
@@ -15,23 +20,73 @@ import org.apache.spark.sql.functions._
   * restriction IS the query semantics (compare trails from the same
   * origin area), not an approximation of a global join.
   *
-  * One-pass max-of-mins: rather than materializing the pair-point table
-  * for two directed passes, each (pair, point-point) row is exploded into
-  * its two side tags (ia*2 on the A side, ib*2+1 on the B side — disjoint
-  * by parity, and a plain BIGINT so the hottest stream of the query never
-  * allocates a string key); min(d2) per (pair, side) is the per-point
-  * nearest distance in EITHER direction, and max over sides is exactly
-  * the symmetric Hausdorff. Both groupBys are map-side combinable, and
-  * the x2 explode happens before the partial aggregate.
-  *
-  * Scale shape: the fanout is bounded by (trails per block)^2 x (points
-  * per trail)^2 — block size is the operator's skew knob, same as eps in
-  * [[PointPattern.dbscan]]; the joins are hash equi-joins end to end.
+  * Scale shape: each trail is collapsed ONCE into an array of packed
+  * points (one `collect_list` exchange, linear in the input), and the
+  * pairs table joins that dim twice — so the shuffle carries one row per
+  * trail plus one row per pair, never the (pairs × |A| × |B|)
+  * point-point stream. The quadratic work still exists, but it runs
+  * CPU-local inside [[HausdorffSqExpr]]'s single O(|A|·|B|) loop over two
+  * flat long arrays (both directed maxes in one pass, no allocation per
+  * candidate), instead of materializing quadratically many rows through
+  * an explode and two aggregate exchanges. Trails are bounded (points
+  * per url), so the arrays are small; block size remains the skew knob
+  * for the pair count, same as eps in [[PointPattern.dbscan]].
   */
 object TrajectorySim {
 
   /** Start-cell block edge in lattice units (120 u = 6 degrees). */
   val Block = 120L
+
+  /** (packed-point array, packed-point array) -> squared symmetric
+    * Hausdorff. Points are packed (x << 32) | (y & 0xFFFFFFFF); exact for
+    * |x|,|y| < 2^31 (lattice coords here are < 10^4). One fused loop
+    * computes max_a min_b directly and folds min_a d(a,b) per b on the
+    * way, so the b->a direction costs no second pass. */
+  case class HausdorffSqExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+      val a = aAny.asInstanceOf[ArrayData]
+      val b = bAny.asInstanceOf[ArrayData]
+      val n = a.numElements(); val m = b.numElements()
+      val bx = new Array[Long](m); val by = new Array[Long](m)
+      val minB = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        val p = b.getLong(j)
+        bx(j) = p >> 32; by(j) = (p << 32) >> 32
+        minB(j) = Long.MaxValue
+        j += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        val p = a.getLong(i)
+        val ax = p >> 32; val ay = (p << 32) >> 32
+        var mn = Long.MaxValue
+        j = 0
+        while (j < m) {
+          val dx = ax - bx(j); val dy = ay - by(j)
+          val d = dx * dx + dy * dy
+          if (d < mn) mn = d
+          if (d < minB(j)) minB(j) = d
+          j += 1
+        }
+        if (mn > h) h = mn
+        i += 1
+      }
+      j = 0
+      while (j < m) { if (minB(j) > h) h = minB(j); j += 1 }
+      h
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "hausdorff_sq"
+  }
+
+  private def hausdorffSq(a: Column, b: Column): Column =
+    ExpressionUtils.column(HausdorffSqExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** @param pts rows of (`keyCol`, `seqCol`, lonm, latm) — integer lattice
     *            coordinates, `seqCol` = 0 marks the trail start
@@ -46,22 +101,21 @@ object TrajectorySim {
         col("a.bx") === col("b.bx") && col("a.by") === col("b.by") &&
           col("a.u") < col("b.u"))
       .select(col("a.u").as("url_a"), col("b.u").as("url_b"))
-    val pa = pts.select(col(keyCol).as("url_a"), col(seqCol).as("ia"),
-      col("lonm").as("ax"), col("latm").as("ay"))
-    val pb = pts.select(col(keyCol).as("url_b"), col(seqCol).as("ib"),
-      col("lonm").as("bx"), col("latm").as("by"))
-    val dx = col("ax") - col("bx")
-    val dy = col("ay") - col("by")
-    pairs.join(pa, "url_a").join(pb, "url_b")
-      .select(col("url_a"), col("url_b"), (dx * dx + dy * dy).as("d2"),
-        explode(array(col("ia") * 2, col("ib") * 2 + 1)).as("side"))
-      .groupBy("url_a", "url_b", "side").agg(min("d2").as("m"))
-      .groupBy("url_a", "url_b")
-      .agg(count(lit(1)).as("n_sides"), max("m").as("h2"))
+    // one row per trail: packed points + count (collect_list order is
+    // engine-dependent, but Hausdorff and count are order-independent)
+    val trails = pts.groupBy(col(keyCol).as("u"))
+      .agg(collect_list(shiftleft(col("lonm"), 32)
+        .bitwiseOR(col("latm").bitwiseAND(lit(0xFFFFFFFFL)))).as("ps"),
+        count(lit(1)).as("n"))
+    pairs
+      .join(trails.select(col("u").as("url_a"), col("ps").as("pa"), col("n").as("na")), "url_a")
+      .join(trails.select(col("u").as("url_b"), col("ps").as("pb"), col("n").as("nb")), "url_b")
+      .select(col("url_a"), col("url_b"), (col("na") + col("nb")).as("n_sides"),
+        hausdorffSq(col("pa"), col("pb")).as("h2"))
   }
 
   /** DuckDB replica: same start-block pairing, same squared distances,
-    * same side-tagged max-of-mins. */
+    * side-tagged max-of-mins over the explicit point-point table. */
   def hausdorffPairsSql(entsCte: String): String =
     s"""WITH $entsCte,
        | pt AS (SELECT url, ent_idx, lonm, latm FROM ents e),
