@@ -86,7 +86,12 @@ object StDbscan {
       .join(core.withColumnRenamed("k", "kc"), Seq("kc"), "left_semi")
       .filter(col("ka") < col("kc"))
       .select(col("ka").as("doc_a"), col("kc").as("doc_b"))
-    val comp = Dedup.components(coreEdges)
+    // core-core edges are dense (every eps-close core pair), so the edge
+    // count sits well above the node count while the byte size stays tiny:
+    // 4M edges = 64 MB on the driver, cheaper than the ~5 star-contraction
+    // shuffle rounds the distributed path would spend shrinking it. Past
+    // the threshold the large/small-star path engages unchanged.
+    val comp = Dedup.components(coreEdges, localThreshold = 4000000L)
       .select(col("doc_id").as("k"), col("component"))
     val coreLbl = core.join(comp, Seq("k"), "left")
       .select(col("k"), coalesce(col("component"), col("k")).as("lbl"))
