@@ -326,8 +326,18 @@ object Dedup {
         .unionAll(mn.select(col("u"), col("mn").as("v")))
         .distinct()
     }
-    var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val raw = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
+    // fast path: if the raw (pre-distinct) edge multiset already fits under
+    // the local threshold, collect it directly — union-find dedups repeats
+    // for free, so the distinct exchange, its checkpoint write, and the
+    // checksum aggregate are all skipped. Raw count >= distinct count, so
+    // this is conservative; a graph that misses here only because of
+    // duplicate edges still reaches the loop's post-distinct check below.
+    if (localThreshold > 0 && raw.count() <= localThreshold)
+      return localComponents(pairs.sparkSession,
+        raw.collect().map(r => (r.getLong(0), r.getLong(1))))
+    var e = raw.distinct().localCheckpoint()
     // order-independent, overflow-free (ANSI mode) edge-set fingerprint
     def checksum(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
