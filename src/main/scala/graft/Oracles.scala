@@ -360,6 +360,8 @@ object Oracles {
 
     "q149_cocitation" -> graft.ops.LinkGraph.coCitationSql(),
 
+    "q150_salsa" -> graft.ops.LinkGraph.salsaSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

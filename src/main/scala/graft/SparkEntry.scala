@@ -500,6 +500,11 @@ object SparkEntry {
     // are no topical evidence AND are the quadratic fan-out rows)
     "q149_cocitation" -> ((s, dir) => LinkGraph.docCoCitation(s, dir)),
 
+    // SALSA: HITS with random-walk (degree-divided) propagation — the
+    // TKC-resistant variant; all-BIGINT (score div degree per edge,
+    // raw * Scale div total per round), 3 rounds
+    "q150_salsa" -> ((s, dir) => LinkGraph.docSalsa(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

@@ -645,4 +645,81 @@ object LinkGraph {
        | FROM keep a JOIN keep b ON a.src = b.src AND a.dst < b.dst
        | GROUP BY 1, 2 HAVING count(*) >= $CoCiteMin"""
       .stripMargin.replace("\n", " ")
+
+  /** SALSA (Lempel & Moran, WWW 2000) — HITS with random-walk
+    * normalization: each propagation divides a node's score by its degree
+    * before summing, so scores spread as a walk alternating link
+    * directions rather than as raw sums. The practical delta vs [[hits]]:
+    * HITS lets one tightly-knit community absorb ALL the mass (the TKC
+    * effect — a dense nav ring outranks genuinely authoritative pages);
+    * SALSA's degree division caps what any single mega-hub can inject, so
+    * it is the link-spam-resistant variant (the form used for Twitter
+    * who-to-follow). The same integer discipline as [[hits]]: per-edge
+    * contribution is BIGINT floor-division score div degree, per-round
+    * rescale is floor(raw * Scale / total) — no float op anywhere.
+    *
+    * Shape per round (x2 for the two sides): one equi-join of the score
+    * vector against the degree-annotated edge list + one
+    * map-side-combinable groupBy + a broadcast-one-row scalar rescale.
+    * The edge list is annotated with BOTH degrees and materialized once;
+    * nothing driver-side. */
+  def salsa(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val indeg = edges.groupBy("dst").agg(count(lit(1)).as("ideg"))
+    val e = edges.join(outdeg, "src").join(indeg, "dst").localCheckpoint()
+    val n = nodes.select("doc_id")
+    var hub = n.select(col("doc_id"), lit(Scale).as("h"))
+    var auth = n.select(col("doc_id"), lit(Scale).as("a"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub, e("src") === hub("doc_id"))
+        .select(col("dst"), expr("h div odeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("raw"))
+      auth = normalizeL1(n, araw.withColumnRenamed("dst", "doc_id"), "a")
+      val hraw = e.join(auth, e("dst") === auth("doc_id"))
+        .select(col("src"), expr("a div ideg").as("c"))
+        .groupBy("src").agg(sum("c").as("raw"))
+      hub = normalizeL1(n, hraw.withColumnRenamed("src", "doc_id"), "h")
+    }
+    hub.join(auth, "doc_id").select("doc_id", "h", "a")
+  }
+
+  /** q150 entry: SALSA over the synthetic link graph of `documents`. */
+  def docSalsa(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    salsa(docs.select("doc_id"), synthEdges(docs), iters)
+  }
+
+  /** DuckDB replica of [[docSalsa]]: same edges, same degree-divided
+    * integer walk, same L1 rescale per round. */
+  def salsaSql(iters: Int = 3): String = {
+    val base =
+      s"""nodes AS (SELECT doc_id FROM documents),
+         | nn AS (SELECT count(*) AS n_docs FROM documents),
+         | e0 AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+         |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+         |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+         | e AS (SELECT e0.src, e0.dst, od.odeg, id.ideg FROM e0
+         |   JOIN (SELECT src, count(*) AS odeg FROM e0 GROUP BY src) od ON od.src = e0.src
+         |   JOIN (SELECT dst, count(*) AS ideg FROM e0 GROUP BY dst) id ON id.dst = e0.dst),
+         | h0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS h FROM nodes),
+         | a0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS a FROM nodes)"""
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS doc_id, CAST(sum(p.h // e.odeg) AS BIGINT) AS raw
+         |   FROM h${k - 1} p JOIN e ON e.src = p.doc_id GROUP BY 1),
+         | a$k AS (SELECT n.doc_id, CAST(
+         |   COALESCE(ar.raw * $Scale // (SELECT CAST(sum(raw) AS BIGINT) FROM ar$k), 0)
+         |   AS BIGINT) AS a
+         |   FROM nodes n LEFT JOIN ar$k ar ON ar.doc_id = n.doc_id),
+         | hr$k AS (SELECT e.src AS doc_id, CAST(sum(p.a // e.ideg) AS BIGINT) AS raw
+         |   FROM a$k p JOIN e ON e.dst = p.doc_id GROUP BY 1),
+         | h$k AS (SELECT n.doc_id, CAST(
+         |   COALESCE(hr.raw * $Scale // (SELECT CAST(sum(raw) AS BIGINT) FROM hr$k), 0)
+         |   AS BIGINT) AS h
+         |   FROM nodes n LEFT JOIN hr$k hr ON hr.doc_id = n.doc_id)"""
+    }
+    (Seq("WITH " + base) ++ rounds).mkString(", ")
+      .stripMargin.replace("\n", " ") +
+      s" SELECT h.doc_id, h.h, a.a FROM h$iters h JOIN a$iters a USING (doc_id)"
+  }
 }
