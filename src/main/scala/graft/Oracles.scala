@@ -247,6 +247,9 @@ object Oracles {
     "q98_bm25_topk" -> graft.ops.Retrieval.bm25TopKIntSql(k = 10, qmod = 50,
       src = graft.ops.Retrieval.corpusSql),
 
+    "q151_kn_counts" ->
+      graft.ops.KneserNey.knCountsSql(graft.ops.Retrieval.corpusSql),
+
     "q86_pagerank" -> graft.ops.LinkGraph.pageRankSql(),
 
     "q103_triangles" -> graft.ops.LinkGraph.trianglesSql,

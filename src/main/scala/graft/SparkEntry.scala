@@ -286,6 +286,12 @@ object SparkEntry {
     "q98_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25TopKInt(Retrieval.corpus(t(s, dir, "documents")), k = 10, qmod = 50)),
 
+    // Kneser-Ney count tables: per vocab word the raw count plus exact
+    // distinct left/right TYPE counts (the KN lower-order numerator and
+    // discount normalizer) — row-local bigrams, vocab-bounded outputs
+    "q151_kn_counts" -> ((s, dir) =>
+      KneserNey.knCounts(Retrieval.corpus(t(s, dir, "documents")))),
+
     // count-min sketch heavy hitters: native mergeable-sketch aggregate
     // (one depth x width array per partition crosses the shuffle, never
     // the keys); integer counters => the oracle replays the sketch exactly
