@@ -365,6 +365,8 @@ object Oracles {
 
     "q150_salsa" -> graft.ops.LinkGraph.salsaSql(),
 
+    "q152_hyperanf" -> graft.ops.HyperAnf.anfSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -511,6 +511,11 @@ object SparkEntry {
     // raw * Scale div total per round), 3 rounds
     "q150_salsa" -> ((s, dir) => LinkGraph.docSalsa(s, dir)),
 
+    // HyperANF: per-node HLL register sketch of the 3-hop reachability
+    // ball (effective-diameter measurement) — closed-form integer hash,
+    // max-merge rounds, state bounded at 64 registers/node by design
+    "q152_hyperanf" -> ((s, dir) => HyperAnf.docAnf(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max
