@@ -367,6 +367,8 @@ object Oracles {
 
     "q152_hyperanf" -> graft.ops.HyperAnf.anfSql(),
 
+    "q153_bowtie" -> graft.ops.LinkGraph.bowTieSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

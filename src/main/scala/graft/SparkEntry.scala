@@ -516,6 +516,10 @@ object SparkEntry {
     // max-merge rounds, state bounded at 64 registers/node by design
     "q152_hyperanf" -> ((s, dir) => HyperAnf.docAnf(s, dir)),
 
+    // Broder bow-tie: core/in/out/other classification from two capped
+    // BFS passes (forward + reversed edges) — the web-graph macrostructure
+    "q153_bowtie" -> ((s, dir) => LinkGraph.docBowTie(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

@@ -722,4 +722,73 @@ object LinkGraph {
       .stripMargin.replace("\n", " ") +
       s" SELECT h.doc_id, h.h, a.a FROM h$iters h JOIN a$iters a USING (doc_id)"
   }
+
+  /** Bow-tie radius cap (matches [[BfsMaxHops]] semantics). */
+  val BowTieHops = 6
+
+  /** Bow-tie decomposition (Broder et al., WWW 2000) — THE published
+    * macro-structure of the web graph: relative to a pivot inside the
+    * giant strongly-connected component, every page is CORE (reaches the
+    * pivot AND is reached by it — the SCC), IN (reaches it only — new
+    * pages linking into the web), OUT (reached only — link sinks like
+    * per-item pages), or OTHER (tendrils/tubes/disconnected). The
+    * radius-capped variant: reach = within `maxHops`, which keeps the
+    * classification deterministic and oracle-replicable (an uncapped SCC
+    * needs a full transitive closure).
+    *
+    * Scale shape: two [[bfsHops]] runs — forward from the pivot and
+    * forward over the REVERSED edge list (= backward reach) — then one
+    * node-keyed join and a row-local CASE. BFS is the canonical
+    * frontier ⋈ edges per-round plan; the classification adds no new
+    * exchange beyond the final join. */
+  def bowTie(nodes: DataFrame, edges: DataFrame, pivot: DataFrame,
+             maxHops: Int = BowTieHops): DataFrame = {
+    val fwd = bfsHops(nodes, edges, pivot, maxHops)
+      .select(col("doc_id"), (col("hop") >= 0).as("f"))
+    val bwd = bfsHops(nodes,
+      edges.select(col("dst").as("src"), col("src").as("dst")), pivot, maxHops)
+      .select(col("doc_id"), (col("hop") >= 0).as("b"))
+    fwd.join(bwd, "doc_id").select(col("doc_id"),
+      when(col("f") && col("b"), "core")
+        .when(col("b"), "in").when(col("f"), "out")
+        .otherwise("other").as("cls"))
+  }
+
+  /** q153 entry: bow-tie classes over a deterministic sparsification of
+    * the synthetic link graph (keep edges with (src+dst) % 3 == 0, avg
+    * out-degree ~1.3), pivot = page 0. The full deg-4 k-out graph
+    * saturates within the hop cap (ball(h) ~ 4^h swallows the whole
+    * graph ⇒ everything "core"); the sparse subgraph exposes all four
+    * regions, which is what the operator exists to measure. */
+  def docBowTie(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    bowTie(docs.select("doc_id"),
+      synthEdges(docs).filter((col("src") + col("dst")) % 3 === 0),
+      docs.filter(col("doc_id") === 0L).select("doc_id"))
+  }
+
+  /** DuckDB replica of [[docBowTie]]: two capped recursive closures
+    * (forward / reversed) + the same CASE. */
+  def bowTieSql(maxHops: Int = BowTieHops): String =
+    s"""WITH RECURSIVE nn AS (SELECT count(*) AS n_docs FROM documents),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+       |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+       |   WHERE j.j <= 2 + d.doc_id % 3)
+       |   WHERE src <> dst AND (src + dst) % 3 = 0),
+       | rf(v, d) AS (SELECT CAST(0 AS BIGINT), 0
+       |   UNION SELECT e.dst, rf.d + 1 FROM rf JOIN e ON e.src = rf.v
+       |   WHERE rf.d < $maxHops),
+       | rb(v, d) AS (SELECT CAST(0 AS BIGINT), 0
+       |   UNION SELECT e.src, rb.d + 1 FROM rb JOIN e ON e.dst = rb.v
+       |   WHERE rb.d < $maxHops),
+       | f AS (SELECT DISTINCT v FROM rf), b AS (SELECT DISTINCT v FROM rb)
+       | SELECT n.doc_id, CASE
+       |   WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'core'
+       |   WHEN b.v IS NOT NULL THEN 'in'
+       |   WHEN f.v IS NOT NULL THEN 'out'
+       |   ELSE 'other' END AS cls
+       | FROM documents n LEFT JOIN f ON f.v = n.doc_id
+       |   LEFT JOIN b ON b.v = n.doc_id"""
+      .stripMargin.replace("\n", " ")
 }
