@@ -250,6 +250,9 @@ object Oracles {
     "q151_kn_counts" ->
       graft.ops.KneserNey.knCountsSql(graft.ops.Retrieval.corpusSql),
 
+    "q155_stupid_backoff" ->
+      graft.ops.StupidBackoff.scoreSql(graft.ops.Retrieval.corpusSql),
+
     "q86_pagerank" -> graft.ops.LinkGraph.pageRankSql(),
 
     "q103_triangles" -> graft.ops.LinkGraph.trianglesSql,
@@ -368,6 +371,8 @@ object Oracles {
     "q152_hyperanf" -> graft.ops.HyperAnf.anfSql(),
 
     "q153_bowtie" -> graft.ops.LinkGraph.bowTieSql(),
+
+    "q154_host_graph" -> graft.ops.HostGraph.hostGraphSql(),
 
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),

@@ -292,6 +292,12 @@ object SparkEntry {
     "q151_kn_counts" -> ((s, dir) =>
       KneserNey.knCounts(Retrieval.corpus(t(s, dir, "documents")))),
 
+    // stupid-backoff trigram scoring (the web-scale LM smoothing): count
+    // tables from a 2/3 train split, every doc scored, all-integer
+    // multiply-then-div per level — backoff levels actually fire
+    "q155_stupid_backoff" -> ((s, dir) =>
+      StupidBackoff.score(Retrieval.corpus(t(s, dir, "documents")))),
+
     // count-min sketch heavy hitters: native mergeable-sketch aggregate
     // (one depth x width array per partition crosses the shuffle, never
     // the keys); integer counters => the oracle replays the sketch exactly
@@ -519,6 +525,10 @@ object SparkEntry {
     // Broder bow-tie: core/in/out/other classification from two capped
     // BFS passes (forward + reversed edges) — the web-graph macrostructure
     "q153_bowtie" -> ((s, dir) => LinkGraph.docBowTie(s, dir)),
+
+    // host-graph contraction: page edges collapsed to weighted host edges
+    // (row-local host key, one map-side groupBy; host²-bounded output)
+    "q154_host_graph" -> ((s, dir) => HostGraph.docHostGraph(s, dir)),
 
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
