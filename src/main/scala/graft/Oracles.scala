@@ -501,6 +501,29 @@ object Oracles {
          | JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          | WHERE inter * 2 >= sa.nsh + sb.nsh - inter""".stripMargin.replace("\n", " "),
 
+    // brute-force containment over the planted-quote corpus; same shingle
+    // CTEs and df cap as q23, (size, id) orientation + the two containment
+    // filters as the final SELECT
+    "q156_containment_pairs" ->
+      s"""WITH corpus AS ${Dedup.quoteCorpusSql},
+         | tokarr AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a FROM corpus),
+         | rawsh AS (SELECT DISTINCT doc_id, sh FROM
+         |   (SELECT doc_id, array_to_string(a[i+1:i+3], ' ') AS sh FROM
+         |     (SELECT doc_id, a, unnest(range(len(a) - 2)) AS i FROM tokarr WHERE len(a) >= 3) x) y),
+         | freq AS (SELECT sh, count(*) AS df FROM rawsh GROUP BY sh),
+         | sh AS (SELECT r.doc_id, r.sh FROM rawsh r JOIN freq USING (sh)
+         |   WHERE freq.df <= ${Dedup.MaxShingleFreqDefault}),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | prs AS (SELECT CASE WHEN s1.nsh <= s2.nsh THEN d1 ELSE d2 END AS doc_small,
+         |     CASE WHEN s1.nsh <= s2.nsh THEN d2 ELSE d1 END AS doc_big,
+         |     inter, least(s1.nsh, s2.nsh) AS na, greatest(s1.nsh, s2.nsh) AS nb
+         |   FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+         | SELECT doc_small, doc_big, inter, na, nb FROM prs
+         | WHERE inter * 5 >= na * 4 AND inter * 2 < na + nb - inter"""
+      .stripMargin.replace("\n", " "),
+
     "q24_text_stats" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,

@@ -650,6 +650,13 @@ object SparkEntry {
     "q21_minhash_lsh" -> ((s, dir) => Dedup.minhashPairs(Dedup.corpus(s, dir))),
     "q22_simhash" -> ((s, dir) => Dedup.simhash(Dedup.corpus(s, dir))),
     "q23_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Dedup.corpus(s, dir))),
+
+    // asymmetric containment pairs over the planted-quote corpus: wrapper/
+    // quote-inclusion detection — >= 80% of the smaller doc inside the
+    // larger while NOT a Jaccard-1/2 near-dup (exactly what q23 misses);
+    // asymmetric prefix filter (probe prefixes x full postings)
+    "q156_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Dedup.quoteCorpus(s, dir))),
     // near-dup pairs -> transitive cluster label per doc (large/small-star CC)
     "q36_dedup_components" -> ((s, dir) =>
       Dedup.components(Dedup.minhashPairs(Dedup.corpus(s, dir)))),

@@ -29,6 +29,29 @@ object Dedup {
     "(SELECT doc_id, text FROM documents UNION ALL " +
       "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)"
 
+  /** Corpus with planted QUOTE docs for [[containmentPairs]]: every
+    * doc_id % 5 == 0 document also appears at +2000000 truncated to its
+    * first max(3, 2·len div 5) tokens — a short doc fully CONTAINED in
+    * the original (containment 1.0) whose Jaccard is only ~0.4 (the
+    * union is dominated by the original), i.e. invisible to the q23
+    * near-dup test by construction. */
+  def quoteCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val quotes = d.filter(col("doc_id") % 5 === 0)
+      .withColumn("a", filter(split(col("text"), " "), t => t =!= ""))
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(slice(col("a"), lit(1),
+          greatest(lit(3), expr("(2 * size(a)) div 5"))), " ").as("text"))
+    d.unionAll(quotes)
+  }
+  val quoteCorpusSql =
+    """(SELECT doc_id, text FROM documents UNION ALL
+      | SELECT doc_id + 2000000 AS doc_id,
+      |   array_to_string(a[1:greatest(3, (2 * len(a)) // 5)], ' ') AS text
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+      |   FROM documents) WHERE doc_id % 5 = 0)"""
+      .stripMargin.replace("\n", " ")
+
   /** Exact dedup: one row per distinct text; keep lowest doc_id. */
   def exact(corpus: DataFrame): DataFrame =
     corpus.groupBy(md5(col("text").cast("binary")).as("text_hash"))
@@ -399,30 +422,7 @@ object Dedup {
   def jaccardPairs(corpus: DataFrame,
                    maxShingleFreq: Option[Int] = Some(MaxShingleFreqDefault),
                    logDrops: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val allSh = shingled(corpus).localCheckpoint(false)
-    // dense ids: exact long equality for ranking and intersection (xxhash
-    // would not be exact); the dictionary broadcasts below the vocab limit
-    val shid = allSh.join(shVocab(allSh), "sh").select("doc_id", "tid")
-    val freq = shid.groupBy("tid").agg(count(lit(1)).as("sh_df"))
-    val fkept = maxShingleFreq match {
-      case None => freq
-      case Some(cap) =>
-        if (logDrops) { // opt-in: the count is its own job re-deriving freq
-          val nDropped = freq.filter(col("sh_df") > cap).count()
-          if (nDropped > 0)
-            System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
-        }
-        freq.filter(col("sh_df") <= cap)
-    }
-    // (df, tid) rank within doc + doc size; one (doc_id)-keyed exchange.
-    // tid is the alphabetical rank of sh, so (df, tid) is a total order.
-    // The df table is vocab-sized — broadcast, mirroring denseIds.
-    val w = Window.partitionBy("doc_id").orderBy("sh_df", "tid")
-    val ranked = shid.join(broadcast(fkept), Seq("tid"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("nsh", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .localCheckpoint(false) // feeds the prefix join AND the array build
+    val ranked = rankedShingles(corpus, maxShingleFreq, logDrops)
     val pref = ranked.filter(col("rn") <= expr("nsh DIV 2 + 1"))
       .select("doc_id", "tid", "nsh")
     val a = pref.as("a"); val b = pref.as("b")
@@ -441,5 +441,77 @@ object Dedup {
         VectorExpressions.sortedInterCount(col("arr_a"), col("arr_b")))
       .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       .select("doc_a", "doc_b", "inter", "na", "nb")
+  }
+
+  /** Shared build for [[jaccardPairs]] / [[containmentPairs]]: per-doc
+    * shingles as dense tids ranked rarest-first by (df, tid) with the doc
+    * size, df-capped. One (doc_id)-keyed exchange; the df table is
+    * vocab-sized — broadcast, mirroring denseIds. tid is the alphabetical
+    * rank of sh, so (df, tid) is a total order. */
+  private def rankedShingles(corpus: DataFrame,
+                             maxShingleFreq: Option[Int],
+                             logDrops: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allSh = shingled(corpus).localCheckpoint(false)
+    // dense ids: exact long equality for ranking and intersection (xxhash
+    // would not be exact); the dictionary broadcasts below the vocab limit
+    val shid = allSh.join(shVocab(allSh), "sh").select("doc_id", "tid")
+    val freq = shid.groupBy("tid").agg(count(lit(1)).as("sh_df"))
+    val fkept = maxShingleFreq match {
+      case None => freq
+      case Some(cap) =>
+        if (logDrops) { // opt-in: the count is its own job re-deriving freq
+          val nDropped = freq.filter(col("sh_df") > cap).count()
+          if (nDropped > 0)
+            System.err.println(s"[dedup] dropped $nDropped shingles with doc-freq > $cap")
+        }
+        freq.filter(col("sh_df") <= cap)
+    }
+    val w = Window.partitionBy("doc_id").orderBy("sh_df", "tid")
+    shid.join(broadcast(fkept), Seq("tid"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .localCheckpoint(false) // feeds the prefix join AND the array build
+  }
+
+  /** Asymmetric shingle CONTAINMENT pairs — wrapper/quote-inclusion
+    * detection: the smaller doc's shingles are >= 80% inside the larger
+    * (5·inter >= 4·na, exact integers) while the pair is NOT a Jaccard-1/2
+    * near-dup (2·inter < na + nb − inter) — i.e. exactly the
+    * boilerplate-wrapped copies and long quotes that [[jaccardPairs]]'
+    * symmetric test misses, because a big wrapper dilutes the union.
+    *
+    * Plan: the asymmetric form of the q23 prefix filter. The probe side
+    * keeps each doc's (nsh − ceil(0.8·nsh) + 1) rarest-first prefix (the
+    * prefix lemma bound for required overlap ceil(0.8·na)); the INDEX
+    * side must stay full — as the larger element of a pair a doc's
+    * required overlap is a fraction of the OTHER doc's size, which is
+    * unbounded below — so candidates are prefix ⋈ full-postings with the
+    * (size, id) orientation in the join condition. No size-ratio cap (a
+    * 10x wrapper is the target, not noise); the df heavy-hitter cap is
+    * the same oracle-mirrored semantics guard as q23. Verify is the same
+    * row-local sorted-merge intersection. */
+  def containmentPairs(corpus: DataFrame,
+                       maxShingleFreq: Option[Int] = Some(MaxShingleFreqDefault)): DataFrame = {
+    val ranked = rankedShingles(corpus, maxShingleFreq, logDrops = false)
+    // prefix length n − ceil(0.8 n) + 1, ceil(0.8 n) = (4n + 4) div 5
+    val pref = ranked.filter(col("rn") <= col("nsh") - expr("(4 * nsh + 4) DIV 5") + 1)
+      .select("doc_id", "tid", "nsh")
+    val full = ranked.select("doc_id", "tid", "nsh")
+    val cand = pref.as("a").join(full.as("b"), col("a.tid") === col("b.tid")
+        && (col("a.nsh") < col("b.nsh")
+          || (col("a.nsh") === col("b.nsh") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .distinct()
+    val arrs = ranked.groupBy("doc_id").agg(sort_array(collect_list("tid")).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_small"), col("arr").as("arr_a")), "doc_small")
+      .join(arrs.select(col("doc_id").as("doc_big"), col("arr").as("arr_b")), "doc_big")
+      .withColumn("inter",
+        VectorExpressions.sortedInterCount(col("arr_a"), col("arr_b")))
+      .filter(col("inter") * 5 >= col("na") * 4)
+      .filter(col("inter") * 2 < col("na") + col("nb") - col("inter"))
+      .select("doc_small", "doc_big", "inter", "na", "nb")
   }
 }
