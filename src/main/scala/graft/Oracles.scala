@@ -374,6 +374,8 @@ object Oracles {
 
     "q154_host_graph" -> graft.ops.HostGraph.hostGraphSql(),
 
+    "q157_idw_surface" -> graft.ops.IdwSurface.idwSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

@@ -453,6 +453,11 @@ object SparkEntry {
     "q125_kde" -> ((s, dir) =>
       KernelDensity.surface(ents(s, dir).select("lonm", "latm"))),
 
+    // IDW value interpolation (KDE's sibling): per-cell Shepard
+    // numerator/denominator BIGINT sums with w = WScale div (1 + d²) —
+    // same 5x5 explode + one groupBy, the float division left downstream
+    "q157_idw_surface" -> ((s, dir) => IdwSurface.docIdw(s, dir)),
+
     // trajectory gap segmentation: spatial gaps-and-islands per url trail,
     // one url exchange serving both windows and the aggregate
     "q126_trail_segments" -> ((s, dir) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector<->raster operators over the 0.05-degree pixel lattice (the same
@@ -177,4 +177,79 @@ object KernelDensity {
        | SELECT cx, cy, CAST(sum($R2 - (dx * dx + dy * dy)) AS BIGINT) AS w
        | FROM filt WHERE dx * dx + dy * dy < $R2 GROUP BY 1, 2"""
       .stripMargin.replace("\n", " ")
+}
+
+/** Inverse-distance-weighted interpolation (Shepard 1968) — [[KernelDensity]]'s
+  * sibling that interpolates a MEASURED VALUE instead of counting mass:
+  * the estimate at each cell center is Σ wᵢ·vᵢ / Σ wᵢ over nearby
+  * samples with wᵢ = 1/(1 + d²) (the +1 is the standard smoothing that
+  * also removes the singularity at d = 0). The surface is emitted as the
+  * separate BIGINT sums (num, den) — the one float division is left to
+  * the consumer, the established numerator discipline that keeps the
+  * whole operator hash-checkable (wᵢ as a float would make partial-sum
+  * order observable).
+  *
+  * Samples are the event stream at the closed-form user home point
+  * (the [[SpaceTime]] lattice) with the q90 fixed-point value
+  * (floor(value·1000), NULLs excluded, oracle-mirrored); weights are
+  * wᵢ = WScale div (1 + d²) — exact BIGINT division.
+  *
+  * Scale shape: identical to [[KernelDensity.surface]] — a constant 5×5
+  * cell explode per sample (row-local) + ONE map-side-combinable
+  * groupBy; no join, no point-point pairs, output lattice-bounded. */
+object IdwSurface {
+
+  /** Weight scale: w = WScale div (1 + d2); d2 < R2 = 4096 so w >= 244. */
+  val WScale = 1000000L
+
+  /** @param pts rows with exact lattice coords (lonm, latm) + BIGINT v
+    * @return (cx, cy, num, den): IDW numerator/denominator per cell. */
+  def surface(pts: DataFrame): DataFrame = {
+    import KernelDensity.{Cell, R2, MaxCx, MaxCy}
+    val offs = for { k <- -2 to 2; j <- -2 to 2 }
+      yield struct(lit(k.toLong).as("k"), lit(j.toLong).as("j"))
+    val dx = col("cx") * Cell + 16L - col("lonm")
+    val dy = col("cy") * Cell + 16L - col("latm")
+    val w = expr(s"$WScale div (1 + dx * dx + dy * dy)")
+    pts
+      .select(col("lonm"), col("latm"), col("v"), explode(array(offs: _*)).as("o"))
+      .select(col("lonm"), col("latm"), col("v"),
+        (expr(s"lonm div ${Cell}L") + col("o.k")).as("cx"),
+        (expr(s"latm div ${Cell}L") + col("o.j")).as("cy"))
+      .filter(col("cx") >= 0 && col("cx") <= MaxCx &&
+        col("cy") >= 0 && col("cy") <= MaxCy)
+      .filter(dx * dx + dy * dy < R2)
+      .withColumn("dx", dx).withColumn("dy", dy)
+      .groupBy("cx", "cy")
+      .agg(sum(w * col("v")).as("num"), sum(w).as("den"))
+  }
+
+  /** q157 entry: IDW surface of event values at user home points. */
+  def docIdw(spark: SparkSession, sfDir: String): DataFrame =
+    surface(spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(expr("(user_id * 467 + 3) % 7200").as("lonm"),
+        expr("(user_id * 911 + 5) % 2800").as("latm"),
+        floor(col("value") * 1000).cast("long").as("v")))
+
+  /** DuckDB replica of [[docIdw]]: same lattice, window, and weights. */
+  def idwSql(): String = {
+    import KernelDensity.{Cell, R2, MaxCx, MaxCy}
+    s"""WITH pc AS (SELECT (user_id * 467 + 3) % 7200 AS lonm,
+       |     (user_id * 911 + 5) % 2800 AS latm,
+       |     CAST(floor(value * 1000) AS BIGINT) AS v
+       |   FROM events WHERE value IS NOT NULL),
+       | offs AS (SELECT k.k, j.j FROM (SELECT unnest(range(-2, 3)) AS k) k
+       |   CROSS JOIN (SELECT unnest(range(-2, 3)) AS j) j),
+       | cand AS (SELECT lonm // $Cell + o.k AS cx, latm // $Cell + o.j AS cy,
+       |     lonm, latm, v FROM pc CROSS JOIN offs o),
+       | filt AS (SELECT cx, cy, v, cx * $Cell + 16 - lonm AS dx,
+       |     cy * $Cell + 16 - latm AS dy FROM cand
+       |   WHERE cx >= 0 AND cx <= $MaxCx AND cy >= 0 AND cy <= $MaxCy)
+       | SELECT cx, cy,
+       |   CAST(sum(($WScale // (1 + dx * dx + dy * dy)) * v) AS BIGINT) AS num,
+       |   CAST(sum($WScale // (1 + dx * dx + dy * dy)) AS BIGINT) AS den
+       | FROM filt WHERE dx * dx + dy * dy < $R2 GROUP BY 1, 2"""
+      .stripMargin.replace("\n", " ")
+  }
 }
