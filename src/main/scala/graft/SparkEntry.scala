@@ -535,6 +535,10 @@ object SparkEntry {
     // (row-local host key, one map-side groupBy; host²-bounded output)
     "q154_host_graph" -> ((s, dir) => HostGraph.docHostGraph(s, dir)),
 
+    // crawl-to-crawl link delta: two snapshots full-outer-joined on the
+    // edge key, row-local kept/added/removed CASE, host-bounded rollup
+    "q158_link_delta" -> ((s, dir) => HostGraph.docLinkDelta(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max
