@@ -493,6 +493,42 @@ object Bench {
         |generation + verify joins — irreducible without giving up
         |exactness. Cold first-run adds ~3 s of one-time codegen/dict
         |build, absorbed by min-of-samples.
+        |
+        |q133 hausdorff_pairs: re-planned (r5) from the side-tagged
+        |explode form — which shuffled the full pairs x |A| x |B|
+        |point-point stream through an explode and two aggregate
+        |exchanges — to trail-array dims: one collect_list exchange packs
+        |each trail into a flat BIGINT array (points packed (x<<32)|y),
+        |the pair table equi-joins that dim twice, and a native
+        |`HausdorffSqExpr` computes both directed max-of-mins in ONE
+        |CPU-local loop per pair. 10.99 -> ~1-4 s depending on context;
+        |output hash-identical. At scale the shuffle is linear in
+        |points + pairs.
+        |
+        |q138 st_dbscan: stage-profiled (r5) — candidate block-grid join
+        |+ CC + labels. Two changes, output row-identical: (1)
+        |half-neighborhood candidate generation (self block + 13
+        |lexicographically-positive offsets, mirror after the join) —
+        |the exploded stream entering the exchange is 14/27 of the full
+        |form; (2) `Dedup.components` collect-direct fast path — when the
+        |raw pre-distinct edge multiset fits the local threshold it goes
+        |straight into the driver union-find, skipping the distinct
+        |exchange, checkpoint write, and checksum job (ST-DBSCAN raises
+        |the threshold to 4M edges = 64 MB because dense core-core
+        |graphs sit far above the node count; q36/q102/q106/q122/q131
+        |take the same fast path for free). 8.65 -> ~4.3 s in the full
+        |pass.
+        |
+        |q150 salsa: an A/B of the per-node-divide variant (the pageRank
+        |shape, 6 extra node-sized joins) measured SLOWER at this SF —
+        |round-count overhead dominates tiny tables — so the
+        |degree-annotated-edges form stands; at scale both are one
+        |equi-join + one partial agg per round per side.
+        |
+        |q156 containment_pairs: stage-profiled — the shared q23
+        |shingle/vocab/rank build dominates (2-4 s warm/cold); the
+        |asymmetric prefix x full-postings candidate join is ~0.5 s for
+        |190k instances and the row-local sorted-merge verify ~0.8 s.
         |""".stripMargin +
       s"""
          |## Per-query wall seconds (local[$cpus], sf dir `$sfDir`)
