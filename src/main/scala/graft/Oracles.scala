@@ -378,6 +378,8 @@ object Oracles {
 
     "q158_link_delta" -> graft.ops.HostGraph.linkDeltaSql(),
 
+    "q159_robots_filter" -> graft.ops.Robots.verdictsSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

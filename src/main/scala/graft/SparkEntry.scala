@@ -539,6 +539,10 @@ object SparkEntry {
     // edge key, row-local kept/added/removed CASE, host-bounded rollup
     "q158_link_delta" -> ((s, dir) => HostGraph.docLinkDelta(s, dir)),
 
+    // robots longest-match URL filtering: broadcast rules join + ONE
+    // integer max (2·len + dis) per page — allow-overrides-disallow
+    "q159_robots_filter" -> ((s, dir) => Robots.docVerdicts(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max
