@@ -380,6 +380,8 @@ object Oracles {
 
     "q159_robots_filter" -> graft.ops.Robots.verdictsSql(),
 
+    "q160_pagerank_incremental" -> graft.ops.LinkGraph.pageRankIncrementalSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

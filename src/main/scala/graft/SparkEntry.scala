@@ -543,6 +543,12 @@ object SparkEntry {
     // integer max (2·len + dis) per page — allow-overrides-disallow
     "q159_robots_filter" -> ((s, dir) => Robots.docVerdicts(s, dir)),
 
+    // incremental PageRank: warm-start the iterate from the previous
+    // snapshot's ranks, 2 repair rounds on the q158-perturbed edges —
+    // the contraction makes warm 2-round ≈ cold many-round (spec-bounded)
+    "q160_pagerank_incremental" -> ((s, dir) =>
+      LinkGraph.docPageRankIncremental(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max

@@ -76,6 +76,85 @@ object LinkGraph {
     pageRank(docs.select("doc_id"), synthEdges(docs), iters)
   }
 
+  /** [[pageRank]]'s iterate with an EXPLICIT starting vector — the
+    * warm-start primitive for incremental maintenance. */
+  def pageRankFrom(nodes: DataFrame, edges: DataFrame, start: DataFrame,
+                   iters: Int): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(outdeg, "src").localCheckpoint()
+    var pr = start.select(col("doc_id"), col("pr"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(pr, e("src") === pr("doc_id"))
+        .select(col("dst"), floor(col("pr") / col("deg")).cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      pr = nodes.select(col("doc_id"))
+        .join(sums, nodes("doc_id") === sums("dst"), "left")
+        .select(col("doc_id"),
+          (lit(Teleport) + floor(lit(0.85) * coalesce(col("s"), lit(0L))).cast("long")).as("pr"))
+    }
+    pr
+  }
+
+  /** Incremental PageRank maintenance (the recurring-crawl move): when
+    * the next crawl's link delta is small (q158: 1/17 of pages die,
+    * 1/13 gain a link), don't recompute ranks from the uniform vector —
+    * WARM-START the iterate from the previous snapshot's ranks and run
+    * `repairIters` rounds on the NEW edges. The fixpoint is a
+    * contraction with factor 0.85, so starting ||x0 − x*|| small buys
+    * the same accuracy in far fewer rounds than the cold 1-vector
+    * start. The advantage scales with how far the fixpoint sits from
+    * uniform: the spec shows >5x closer (L1) on a planted hub graph,
+    * and never-worse on the near-uniform synthetic k-out fixture.
+    *
+    * Scale shape: exactly one [[pageRank]] round per repair iteration
+    * (rank⋈edges equi-join + partial-agg groupBy) — the savings IS the
+    * removed rounds; nothing else changes. Output deterministic BIGINT,
+    * hash-checked via the chained-CTE oracle (old 5-round fixpoint on
+    * e1 feeding 2 rounds on e2). */
+  def docPageRankIncremental(spark: SparkSession, sfDir: String,
+                             repairIters: Int = 2): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nodes = docs.select("doc_id")
+    val e1 = synthEdges(docs).localCheckpoint()
+    val old = pageRank(nodes, e1, 5).localCheckpoint()
+    pageRankFrom(nodes, HostGraph.edgesT2(docs, e1), old, repairIters)
+  }
+
+  /** DuckDB replica of [[docPageRankIncremental]]: the q86 CTE chain on
+    * e1 (5 rounds) continued for `repairIters` rounds on e2. */
+  def pageRankIncrementalSql(repairIters: Int = 2): String = {
+    val base =
+      s"""nodes AS (SELECT doc_id FROM documents),
+         | nn AS (SELECT count(*) AS n_docs FROM documents),
+         | e AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 17 + 7) % nn.n_docs AS dst
+         |   FROM documents d, nn, (SELECT unnest(range(6)) AS j) j
+         |   WHERE j.j <= 2 + d.doc_id % 3) WHERE src <> dst),
+         | e2 AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT src, dst FROM e WHERE src % 17 <> 0
+         |   UNION ALL
+         |   SELECT d.doc_id AS src, (d.doc_id * 37 + 11) % nn.n_docs AS dst
+         |   FROM documents d, nn WHERE d.doc_id % 13 = 0
+         |     AND d.doc_id % 17 <> 0
+         |     AND d.doc_id <> (d.doc_id * 37 + 11) % nn.n_docs)),
+         | od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         | od2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+         | pr0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS pr FROM nodes)"""
+    def round(k: Int, prev: String, eT: String, odT: String) =
+      s"""pr$k AS (SELECT n.doc_id,
+         |   $Teleport + CAST(floor(0.85 * COALESCE(s.s, 0)) AS BIGINT) AS pr
+         | FROM nodes n LEFT JOIN (
+         |   SELECT $eT.dst AS doc_id, sum(CAST(floor(p.pr / $odT.deg) AS BIGINT)) AS s
+         |   FROM $prev p JOIN $odT ON $odT.src = p.doc_id
+         |     JOIN $eT ON $eT.src = p.doc_id
+         |   GROUP BY $eT.dst) s ON s.doc_id = n.doc_id)"""
+    val cold = (1 to 5).map(k => round(k, s"pr${k - 1}", "e", "od"))
+    val warm = (6 until 6 + repairIters).map(k => round(k, s"pr${k - 1}", "e2", "od2"))
+    (Seq("WITH " + base) ++ cold ++ warm).mkString(", ")
+      .stripMargin.replace("\n", " ") +
+      s" SELECT doc_id, pr FROM pr${5 + repairIters}"
+  }
+
   /** DuckDB replica: edges from the same closed form, `iters` chained
     * rank CTEs, identical integer/floor op sequence. */
   def pageRankSql(iters: Int = 5): String = {
