@@ -382,6 +382,8 @@ object Oracles {
 
     "q160_pagerank_incremental" -> graft.ops.LinkGraph.pageRankIncrementalSql(),
 
+    "q161_temperature_sample" -> graft.ops.Mixing.temperatureSampleSql(),
+
     "q135_dissolve_area" -> graft.ops.Dissolve.unionAreaSql(
       s"(SELECT a_id % 5 AS cls, u0, u1, v0, v1 FROM ${graft.ops.OverlayJoin.squaresASql} q)"),
 

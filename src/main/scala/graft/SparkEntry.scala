@@ -549,6 +549,12 @@ object SparkEntry {
     "q160_pagerank_incremental" -> ((s, dir) =>
       LinkGraph.docPageRankIncremental(s, dir)),
 
+    // mT5/XLM-R temperature resampling (α = 1/2): per-lang Bernoulli
+    // thinning q_l = sqrt(n_min/n_l), deterministic hash draw — the
+    // SAMPLE itself hash-checks, not just its size
+    "q161_temperature_sample" -> ((s, dir) =>
+      Mixing.docTemperatureSample(s, dir)),
+
     // funnel analysis: deepest view->click->purchase stage per user via
     // chained conditional running-min windows — one user_id exchange
     // serves the window chain and the per-user max
