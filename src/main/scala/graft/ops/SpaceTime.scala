@@ -41,9 +41,15 @@ object SpaceTime {
     val cnt = ev.groupBy("cx", "cy", "day").agg(count(lit(1)).as("n"))
     val dom = ev.agg(min("day").as("d0"), max("day").as("d1"))
     val cells = cnt.select("cx", "cy").distinct()
+    // materialize the zero-filled cube ONCE (cells x days rows): both
+    // sides of the day-pair self-join read it, and without the cut each
+    // side re-executes the whole event scan + groupBy + domain subtree
+    // (guide §2.4 applied to repeated subtrees; cube-sized, never
+    // event-sized)
     val grid = Scalars.join(cells, dom)
       .select(col("cx"), col("cy"), explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(cnt, Seq("cx", "cy", "day"), "left").na.fill(0L, Seq("n"))
+      .localCheckpoint(false)
     val a = grid.select(col("cx"), col("cy"), col("day").as("di"), col("n").as("ni"))
     val b = grid.select(col("cx"), col("cy"), col("day").as("dj"), col("n").as("nj"))
     val s = a.join(b, Seq("cx", "cy")).filter(col("dj") > col("di"))
@@ -82,9 +88,14 @@ object SpaceTime {
     val cnt = ev.groupBy("cx", "cy", "day").agg(count(lit(1)).as("n"))
     val dom = ev.agg(min("day").as("d0"), max("day").as("d1"))
     val cells = cnt.select("cx", "cy").distinct()
+    // materialized once: the cube feeds the lag explode, the lag join
+    // probe, and the state classification — three full re-executions of
+    // the event scan + groupBy without the cut (same rationale as
+    // [[mannKendall]]'s grid checkpoint; cube-sized)
     val grid = Scalars.join(cells, dom)
       .select(col("cx"), col("cy"), explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(cnt, Seq("cx", "cy", "day"), "left").na.fill(0L, Seq("n"))
+      .localCheckpoint(false)
     // queen-lag count per (cell, day): address each occupied cell's count
     // at its 8 neighbors, join back to the grid — missing neighbors are
     // exactly the always-zero cells
@@ -100,9 +111,12 @@ object SpaceTime {
       .groupBy("cx", "cy", "day").agg(sum("nn").as("lagn"))
     def cls(c: Column, hi: Long): Column =
       when(c === 0L, "Z").when(c < hi, "L").otherwise("H")
+    // st feeds both the from-side and (shifted) the to-side of the
+    // transition join — materialize so the lag join runs once, not twice
     val st = grid.join(lag, Seq("cx", "cy", "day"), "left").na.fill(0L, Seq("lagn"))
       .select(col("cx"), col("cy"), col("day"),
         cls(col("n"), 3L).as("c"), cls(col("lagn"), 9L).as("lag_cls"))
+      .localCheckpoint(false)
     val nxt = st.select(col("cx"), col("cy"), (col("day") - 1L).as("day"),
       col("c").as("c_to"))
     st.join(nxt, Seq("cx", "cy", "day"))

@@ -145,7 +145,16 @@ object SpatialStats {
   }
 
   /** Lattice cells with raw count `n`, total `t`, and scaled deviation
-    * `z = N*n - t` — the shared first stage (ONE fact-table exchange). */
+    * `z = N*n - t` — the shared first stage (ONE fact-table exchange).
+    *
+    * Materialized once (`localCheckpoint(false)`, <= N rows): every
+    * consumer in this family reads the lattice 2-3 times (pair/lag side
+    * plus one or two broadcast probes), and each read would otherwise
+    * re-execute the WHOLE fact subtree — for the entity layer that is a
+    * full page-synthesis + extraction pass per use (measured 3-6 scans per
+    * query before the cut; guide §2.4 "remove shuffles outright" applied
+    * to repeated subtrees). The checkpoint is lattice-sized regardless of
+    * fact-table size, so it costs O(N) memory at any scale. */
   private def zCells(spark: SparkSession, ents: DataFrame): DataFrame = {
     val counts = ents.select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
       .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
@@ -156,6 +165,7 @@ object SpatialStats {
       lattice.join(counts, Seq("cx", "cy"), "left").na.fill(0L, Seq("n")), tot)
       .select(col("cx"), col("cy"), col("n"), col("t"),
         (lit(NCells) * col("n") - col("t")).as("z"))
+      .localCheckpoint(false)
   }
 
   private val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))

@@ -56,12 +56,18 @@ object StreamReplay {
     // replay fixtures are tiny relative to a production stream, but a
     // stateful micro-batch schedules (shuffle partitions) tasks per state
     // store per batch — at the session's 32 that is ~hundreds of near-empty
-    // tasks per replay. Scope the streaming query to 8 state partitions
+    // tasks per replay. Scope the streaming query to 2 state partitions
     // (state partitioning is fixed by the FIRST batch from the session
-    // conf; a fresh checkpoint per run makes this safe). Production
-    // callers start their own queries and inherit their session's value.
+    // conf; a fresh checkpoint per run makes this safe, and partition
+    // count never changes WHAT a keyed stateful operator computes — only
+    // where keys live). r6: 8 -> 2 — each state store instance costs a
+    // task + a commit + a delta file PER micro-batch, so the replay pays
+    // (partitions x batches x stateful-operators) fixed overheads; 2 keeps
+    // multi-partition state-merge semantics exercised at a quarter of the
+    // cost. Production callers start their own queries and inherit their
+    // session's value.
     val prev = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt.getAbsolutePath).start()
