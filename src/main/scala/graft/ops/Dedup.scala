@@ -303,7 +303,7 @@ object Dedup {
     * contract as the converged star rounds (one row per vertex, component
     * = min id; union-by-min keeps the smaller root, so the final root IS
     * the component minimum). */
-  private def localComponents(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+  private def localComponents(spark: SparkSession, edges: Array[Long]): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -312,13 +312,32 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edges.foreach { case (u, v) =>
-      val ru = find(u); val rv = find(v)
+    var i = 0
+    while (i < edges.length) {
+      val ru = find(edges(i)); val rv = find(edges(i + 1))
       if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      i += 2
     }
-    val rows = edges.iterator.flatMap { case (u, v) => Iterator(u, v) }
-      .toArray.distinct.map(v => (v, find(v))).toSeq
+    val rows = edges.distinct.map(v => (v, find(v))).toSeq
     spark.createDataFrame(rows).toDF("doc_id", "component")
+  }
+
+  /** Collect an (u, v) edge frame to the driver as ONE flat primitive
+    * long[] (u at 2i, v at 2i+1) — 16 bytes/edge instead of a boxed
+    * GenericRow + two boxed Longs (~80+ bytes/edge): at the 4M-edge
+    * [[graft.ops.StDbscan]] threshold that is ~64 MB of transient driver
+    * heap, not several hundred (ADVICE r5). Reads InternalRow buffers
+    * directly; per-partition arrays concatenated on the driver. */
+  private def collectEdgesPacked(e: DataFrame): Array[Long] = {
+    val chunks = e.queryExecution.toRdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { row => buf += row.getLong(0) += row.getLong(1) }
+      Iterator.single(buf.result())
+    }.collect()
+    val out = new Array[Long](chunks.iterator.map(_.length).sum)
+    var off = 0
+    chunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
+    out
   }
 
   /** @param localThreshold once the (monotonically shrinking) star edge set
@@ -358,8 +377,7 @@ object Dedup {
     // this is conservative; a graph that misses here only because of
     // duplicate edges still reaches the loop's post-distinct check below.
     if (localThreshold > 0 && raw.count() <= localThreshold)
-      return localComponents(pairs.sparkSession,
-        raw.collect().map(r => (r.getLong(0), r.getLong(1))))
+      return localComponents(pairs.sparkSession, collectEdgesPacked(raw))
     var e = raw.distinct().localCheckpoint()
     // order-independent, overflow-free (ANSI mode) edge-set fingerprint
     def checksum(d: DataFrame): (Long, Long) = {
@@ -372,8 +390,7 @@ object Dedup {
     while (!converged && it < maxIter) {
       // the edge set is checkpointed, so the count/collect reads blocks
       if (prev._1 <= localThreshold)
-        return localComponents(pairs.sparkSession,
-          e.collect().map(r => (r.getLong(0), r.getLong(1))))
+        return localComponents(pairs.sparkSession, collectEdgesPacked(e))
       e = smallStar(largeStar(e)).localCheckpoint()
       val cur = checksum(e)
       converged = cur == prev

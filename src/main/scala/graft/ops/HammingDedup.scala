@@ -1,7 +1,14 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{GraftShim => ExpressionUtils}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** SimHash Hamming near-dup join — the Manku / Jain / Sarma WWW'07
   * production web-dedup design ("Detecting Near-Duplicates for Web
@@ -53,7 +60,14 @@ object HammingDedup {
     * docs get a mirror at doc_id + 2000000 with ` zz<doc_id % 7>`
     * appended. `zz*` never occurs in the synthetic vocabulary, so the
     * edit is exactly one new shingle; the mirror's SimHash differs only
-    * in planes whose sum sat on the sign boundary. */
+    * in planes whose sum sat on the sign boundary.
+    *
+    * PRECONDITION (ADVICE r5): max(doc_id) < 2000000 — the fixed mirror
+    * offset collides with real ids past 2M documents. The driver's SFs top
+    * out at ~5k docs; a caller at a larger scale must derive the offset
+    * from max(doc_id)+1 (the [[Scalars.join]] scalar pattern) on BOTH the
+    * Spark and oracle sides, or the planted semantics silently corrupt
+    * (the oracle mirrors the same formula, so hash checks would pass). */
   def editedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 4 === 0)
@@ -67,9 +81,26 @@ object HammingDedup {
 
   /** 64-bit SimHash per doc over distinct word-3-shingles: dense shingle
     * ids ([[Dedup.denseIds]] — global sorted rank, oracle-replicable),
-    * 64 integer plane sums in ONE map-side-combinable groupBy, bit j set
-    * iff sum_j > 0 (bit 63 is the sign bit; disjoint bits OR together). */
+    * 64 integer plane sums folded by ONE native vector aggregate
+    * ([[SimhashBitsAgg]], the [[CmsSketch]] pattern — r5 verdict item 1)
+    * in a single map-side-combinable groupBy; bit j set iff sum_j > 0
+    * (bit 63 is the sign bit). The previous form spelled the same math as
+    * 64 separate `sum(when(...))` aggregate columns — 64 codegen'd
+    * expression evaluations and 64 aggregation buffers per (doc, tid)
+    * row; the aggregate walks the planes in one tight loop over ONE
+    * packed long[64] buffer per group. [[simhash64Columns]] keeps the
+    * column form as the in-test reimplementation-equality baseline. */
   def simhash64(corpus: DataFrame): DataFrame = {
+    val sh = Dedup.shingled(corpus).localCheckpoint(false)
+    val withTid = sh.join(Dedup.denseIds(sh, "sh"), "sh").select("doc_id", "tid")
+    withTid.groupBy("doc_id")
+      .agg(SimhashBitsAgg.simhashBits(col("tid"), HamA, HamB).as("h"))
+  }
+
+  /** The pre-r6 64-aggregate-column form of [[simhash64]] — kept ONLY as
+    * the independent reimplementation that HammingDedupSpec proves equal
+    * to the native aggregate (never on the query path). */
+  private[graft] def simhash64Columns(corpus: DataFrame): DataFrame = {
     val sh = Dedup.shingled(corpus).localCheckpoint(false)
     val withTid = sh.join(Dedup.denseIds(sh, "sh"), "sh").select("doc_id", "tid")
     val sums = (0 until HamPlanes).map(j =>
@@ -115,6 +146,90 @@ object HammingDedup {
         expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
       .filter(col("hamming") >= 1L && col("hamming") <= HamD)
       .select("rep_a", "rep_b", "hamming", "n_a", "n_b")
+  }
+
+  object SimhashBitsAgg {
+    /** tid -> packed 64-bit SimHash: sum_j += (tid*a_j+b_j) % P < P/2 ? 1 : -1
+      * per plane, bit j of the result set iff sum_j > 0. */
+    def simhashBits(tid: Column, a: Array[Long], b: Array[Long]): Column =
+      ExpressionUtils.column(
+        SimhashBitsAgg(ExpressionUtils.expression(tid), a, b).toAggregateExpression())
+  }
+
+  /** Native plane-sum vector aggregate (the [[Sketches]] CmsSketch shape):
+    * buffer = one long[planes] of signed plane sums per group; update folds
+    * a dense shingle id into every plane in one loop; merge is elementwise
+    * add; eval packs the sign bits into the 64-bit fingerprint. Map-side
+    * combinable (ObjectHashAggregate), so only (groups x 64 longs) cross
+    * the shuffle — identical arithmetic to the 64-column form, one buffer
+    * and one expression instead of 64 of each. */
+  case class SimhashBitsAgg(
+      tid: Expression,
+      a: Array[Long],
+      b: Array[Long],
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    private val planes = a.length
+    require(planes == b.length && planes <= 64, "need <= 64 (a, b) plane pairs")
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (tid.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_bits: tid must be BIGINT, got ${tid.dataType}")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](planes)
+
+    override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+      val t = tid.eval(input)
+      if (t != null) {
+        val tl = t.asInstanceOf[Long]
+        var j = 0
+        while (j < planes) {
+          buffer(j) += (if ((tl * a(j) + b(j)) % Dedup.P < Dedup.HalfP) 1L else -1L)
+          j += 1
+        }
+      }
+      buffer
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < planes) { x(j) += y(j); j += 1 }
+      x
+    }
+
+    override def eval(buffer: Array[Long]): Any = {
+      var h = 0L
+      var j = 0
+      while (j < planes) { if (buffer(j) > 0) h |= (1L << j); j += 1 }
+      h
+    }
+
+    override def serialize(buffer: Array[Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(planes * 8)
+      val out = new DataOutputStream(bos)
+      buffer.foreach(out.writeLong)
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      Array.fill(planes)(in.readLong())
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(tid)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimhashBitsAgg =
+      copy(tid = c(0))
+    override def withNewMutableAggBufferOffset(o: Int): SimhashBitsAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): SimhashBitsAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "simhash_bits"
   }
 
   /** DuckDB replica: same vocab/planes/bits, then BRUTE-FORCE all

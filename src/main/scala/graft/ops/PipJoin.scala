@@ -46,10 +46,11 @@ object PipJoin {
                   level: Int = 6, saltFactor: Int = 8,
                   hotCells: Option[Seq[Long]] = None): DataFrame = {
     import spark.implicits._
-    val coverUdf = udf((wkb: Array[Byte]) =>
-      CoverIndex.coverCells(WkbCodec.read(wkb), level).map { case (x, y) => (x << 32) | y })
+    // native cover expression (r5 verdict item 7: the last udf( on a join
+    // input path) — WKB read off the InternalRow, cells returned as one
+    // primitive buffer; PlanGuardSpec pins the udf-free plan
     val cover = polygons
-      .withColumn("cell", explode(coverUdf(col("geom"))))
+      .withColumn("cell", explode(GeoExpressions.coverCells(col("geom"), level)))
       .select(col("cell"), col("poly_id"), col("geom"))
 
     val pts = points.withColumn("cell",

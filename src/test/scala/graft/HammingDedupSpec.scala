@@ -51,6 +51,14 @@ class HammingDedupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("native plane aggregate equals the 64-column form (r6 reimplementation equality)") {
+    import spark.implicits._
+    val fast = HammingDedup.simhash64(corpus).as[(Long, Long)].collect().toMap
+    val slow = HammingDedup.simhash64Columns(corpus).as[(Long, Long)].collect().toMap
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
   test("one row per fingerprint pair (first-agreeing-band dedup, no distinct pass)") {
     import spark.implicits._
     val rows = HammingDedup.hammingPairs(corpus)

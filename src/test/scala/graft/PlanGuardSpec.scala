@@ -180,6 +180,20 @@ class PlanGuardSpec extends AnyFunSuite with SparkTest {
       })
     }.flatten
     assert(pairUdfs.isEmpty, s"ScalaUDF over point columns in q14 plan: $pairUdfs")
+    // r6 (verdict item 7): the polygon cover explode is the native
+    // CoverCellsExpr — no ScalaUDF over the WKB geom column either (the
+    // only remaining ScalaUDFs are the closed-form fixture synthesizers
+    // over (cx, cy, r) scalars)
+    val hasCover = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[graft.ops.CoverCellsExpr])))
+    assert(hasCover, "q14 cover must be the native CoverCellsExpr")
+    val geomUdfs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+            if u.references.exists(_.name == "geom") => u.toString
+      })
+    }.flatten
+    assert(geomUdfs.isEmpty, s"ScalaUDF over geom in q14 plan: $geomUdfs")
   }
 
   test("q26 fingerprints: native expression, no ScalaUDF on the fact path") {
