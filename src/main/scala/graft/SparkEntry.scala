@@ -605,8 +605,11 @@ object SparkEntry {
         SegmentJoin.segmentsA(t(s, dir, "part")))),
 
     // trajectory similarity join: symmetric discrete Hausdorff^2 between
-    // co-started trails — start-block equi-join candidates, side-tagged
-    // max-of-mins in one pass, all-BIGINT squared lattice distances
+    // co-started trails — start-block equi-join candidates over trail-array
+    // dims (one collect_list exchange packs each trail into a flat BIGINT
+    // array), both directed max-of-mins computed by the native
+    // HausdorffSqExpr in one CPU-local loop per pair (r5 re-plan; the old
+    // side-tagged explode shuffled every point per pair)
     "q133_hausdorff_pairs" -> ((s, dir) =>
       TrajectorySim.hausdorffPairs(ents(s, dir).select("url", "ent_idx", "lonm", "latm"))),
 

@@ -33,14 +33,22 @@ class CoverIndex(
     val pf = new PreparedGeometryFactory
     geoms.map(pf.create)
   }
-  /** STRtree over candidate envelopes for cells above denseThreshold. */
-  @transient private lazy val denseTrees: Map[Long, STRtree] =
-    cellToPolys.iterator.filter(_._2.length >= denseThreshold).map { case (cell, idxs) =>
+  /** Primitive probe index (r6): the per-row cell lookup through
+    * `Map[Long, _]` boxed the packed key on EVERY fact-row probe (plus a
+    * second boxed lookup for the dense-tree map). Rebuilt per executor
+    * JVM as three parallel arrays — sorted keys, candidate lists, and the
+    * STRtree for cells above denseThreshold (null below) — so a probe is
+    * one allocation-free binary search. */
+  @transient private lazy val probeKeys: Array[Long] = cellToPolys.keys.toArray.sorted
+  @transient private lazy val probeVals: Array[Array[Int]] = probeKeys.map(cellToPolys)
+  @transient private lazy val probeTrees: Array[STRtree] = probeVals.map { idxs =>
+    if (idxs.length >= denseThreshold) {
       val t = new STRtree()
       idxs.foreach(i => t.insert(geoms(i).getEnvelopeInternal, Integer.valueOf(i)))
       t.build()
-      cell -> t
-    }.toMap
+      t
+    } else null
+  }
 
   def cellKey(cx: Long, cy: Long): Long = (cx << 32) | cy
 
@@ -49,23 +57,32 @@ class CoverIndex(
   /** Polygon ids exactly containing the point (JTS `contains`: boundary
     * excluded — the synthetic layers keep points off boundaries), sorted.
     * Allocation-light: runs once per fact row (10^12 times), so per-probe
-    * garbage is a GC/scaling tax. */
+    * garbage is a GC/scaling tax — the probe Point and dense-tree query
+    * Envelope are per-thread mutables ([[graft.geom.ProbePoint]], r6), and
+    * the result copy is skipped when every candidate matched. */
   def containing(lon: Double, lat: Double): Array[Long] = {
     val key = cellKey(CellGrid.cellX(lon, level), CellGrid.cellY(lat, level))
-    val idxs = cellToPolys.getOrElse(key, null)
-    if (idxs == null) return empty
-    val pt = WkbCodec.point(lon, lat)
-    val tree = denseTrees.getOrElse(key, null)
+    val slot = java.util.Arrays.binarySearch(probeKeys, key)
+    if (slot < 0) return empty
+    val idxs = probeVals(slot)
+    val pt = graft.geom.ProbePoint.at(lon, lat)
+    val tree = probeTrees(slot)
     if (tree != null) {
-      val cands = tree.query(new Envelope(lon, lon, lat, lat))
-      val out = new Array[Long](cands.size())
+      // reusable visitor: STRtree.query(env) allocates an ArrayList per
+      // probe; the visitor form accumulates into a per-thread int buffer
+      val vis = CoverIndex.visitor.get()
+      vis.reset()
+      tree.query(graft.geom.ProbePoint.envelope(lon, lat), vis)
+      val cands = vis.buf
+      val nc = vis.size
+      val out = new Array[Long](nc)
       var m = 0; var j = 0
-      while (j < cands.size()) {
-        val i = cands.get(j).asInstanceOf[Integer].intValue()
+      while (j < nc) {
+        val i = cands(j)
         if (prepared(i).contains(pt)) { out(m) = polyIds(i); m += 1 }
         j += 1
       }
-      val res = java.util.Arrays.copyOf(out, m)
+      val res = if (m == out.length) out else java.util.Arrays.copyOf(out, m)
       java.util.Arrays.sort(res)
       res
     } else {
@@ -76,7 +93,7 @@ class CoverIndex(
         if (prepared(i).contains(pt)) { out(m) = polyIds(i); m += 1 }
         j += 1
       }
-      val res = java.util.Arrays.copyOf(out, m)
+      val res = if (m == out.length) out else java.util.Arrays.copyOf(out, m)
       java.util.Arrays.sort(res)
       res
     }
@@ -89,6 +106,22 @@ class CoverIndex(
 }
 
 object CoverIndex {
+
+  /** Growable per-thread candidate collector for the dense-cell STRtree
+    * probe (r6) — `query(env)` allocates a fresh ArrayList per call. */
+  final class IntVisitor extends org.locationtech.jts.index.ItemVisitor {
+    var buf: Array[Int] = new Array[Int](64)
+    var size: Int = 0
+    def reset(): Unit = size = 0
+    override def visitItem(item: AnyRef): Unit = {
+      if (size == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(size) = item.asInstanceOf[Integer].intValue()
+      size += 1
+    }
+  }
+  private[index] val visitor: ThreadLocal[IntVisitor] = new ThreadLocal[IntVisitor] {
+    override def initialValue(): IntVisitor = new IntVisitor
+  }
 
   /** Build on the driver from a collected (small/dim) polygon layer. */
   def build(polyIds: Array[Long], polyWkbs: Array[Array[Byte]], level: Int): CoverIndex = {

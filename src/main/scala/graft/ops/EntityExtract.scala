@@ -34,8 +34,29 @@ object EntityExtract {
 
   /** pages(url, warc_ts, html, text, lang) ->
     * (url, ent_idx int, lonm, latm long, lon, lat double, text, lang).
-    * Marker order in text defines ent_idx. */
+    * Marker order in text defines ent_idx.
+    *
+    * r6: the marker scan is the native [[GeoMentionsExpr]] — one
+    * byte-level pass per page instead of three java.util.regex
+    * evaluations and a mention string per match (extraction runs once per
+    * page at 10^12 pages and inside the timed flagship pipeline).
+    * [[entitiesRegex]] keeps the regex plan as the in-test
+    * reimplementation-equality baseline (EntityExtractSpec). */
   def entities(pages: DataFrame): DataFrame = {
+    pages
+      .select(col("url"), col("text"), col("lang"),
+        posexplode(GeoMentionsExpr.geoMentions(col("text"))).as(Seq("ent_idx", "m")))
+      .withColumn("lonm", col("m.lonm"))
+      .withColumn("latm", col("m.latm"))
+      .withColumn("lon", col("lonm") / 20.0 - 180.0)
+      .withColumn("lat", col("latm") / 20.0 - 70.0)
+      .drop("m")
+  }
+
+  /** The pre-r6 regex form of [[entities]] — kept ONLY as the independent
+    * reimplementation EntityExtractSpec proves equal to the native
+    * scanner (never on the query path). */
+  private[graft] def entitiesRegex(pages: DataFrame): DataFrame = {
     pages
       .select(col("url"), col("text"), col("lang"),
         posexplode(regexp_extract_all(col("text"), lit("GEO\\(([0-9]+);([0-9]+)\\)"), lit(0)))

@@ -178,7 +178,8 @@ case class PreparedContainsExpr(first: Expression, second: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullSafeEval(id: Any, wkb: Any, lon: Any, lat: Any): Any =
     graft.geom.PreparedCache.get(id.asInstanceOf[Long], wkb.asInstanceOf[Array[Byte]])
-      .contains(WkbCodec.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+      .contains(graft.geom.ProbePoint.at(
+        lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
@@ -198,7 +199,8 @@ case class PreparedContainsMapExpr(first: Expression, second: Expression,
   override def nullSafeEval(id: Any, lon: Any, lat: Any): Any = {
     val polyId = id.asInstanceOf[Long]
     graft.geom.PreparedCache.get(polyId, bc.value(polyId))
-      .contains(WkbCodec.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+      .contains(graft.geom.ProbePoint.at(
+        lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
   }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =

@@ -56,6 +56,14 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
     m.view.mapValues(_.toArray).toMap
   }
 
+  /** Primitive probe index over [[byCell]] (r6): the ring expansion looks
+    * up ~(2r+1)^2 cells per fact row, and each `Map[Long, _]` lookup boxes
+    * the packed key — at 10^12 rows that garbage is a measurable GC tax.
+    * Sorted keys + parallel values make a probe one allocation-free
+    * binary search (same discipline as CoverIndex.probeKeys). */
+  @transient private lazy val cellKeys: Array[Long] = byCell.keys.toArray.sorted
+  @transient private lazy val cellVals: Array[Array[Int]] = cellKeys.map(byCell)
+
   /** Ordered (by dist2 asc, poi_id asc) ids of the k nearest POIs.
     * Allocation-light (primitive insertion buffers): this runs 10^12 times
     * on the fact side, so per-probe garbage is a GC/scaling tax. */
@@ -94,8 +102,11 @@ class PoiGrid(val level: Int, val ids: Array[Long], val xs: Array[Double],
       // planar metric has no wrap, matching its oracle).
       val xw = if (geodesic) ((x % n) + n) % n else x
       if (xw >= 0 && xw <= maxC && y >= 0 && y <= maxC) {
-        val arr = byCell.getOrElse((xw << 32) | y, null)
-        if (arr != null) { var i = 0; while (i < arr.length) { consider(arr(i)); i += 1 } }
+        val slot = java.util.Arrays.binarySearch(cellKeys, (xw << 32) | y)
+        if (slot >= 0) {
+          val arr = cellVals(slot)
+          var i = 0; while (i < arr.length) { consider(arr(i)); i += 1 }
+        }
       }
     }
 

@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * The per-page verdict reduces to ONE integer aggregate: each matching
   * rule scores `2·len(prefix) + is_disallow`, so max(score) picks the
-  * longest prefix and, on equal length, the conservative disallow; the
+  * longest prefix and, on equal length, the CONSERVATIVE disallow; the
   * verdict is the parity of the max. No struct comparators, no window —
   * a plain map-side-combinable `max`.
+  *
+  * DOCUMENTED DEVIATION (ADVICE r5): on an exact length tie between an
+  * allow and a disallow rule, RFC 9309 §2.2.2 / Google semantics pick the
+  * LEAST restrictive rule (allow wins); this operator's `+ is_disallow`
+  * tie bit picks disallow — the conservative crawl-side choice. The
+  * synthetic rule set never produces a length tie, so outputs are
+  * unaffected; an RFC-exact caller flips the tie bit to `+ is_allow` (and
+  * reads the inverted parity).
   *
   * Scale shape: pages derive (host, path) ROW-LOCALLY; the rule table is
   * hosts×rules-bounded (never page-bounded) and BROADCASTS into the

@@ -89,7 +89,13 @@ object TrajectorySim {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** @param pts rows of (`keyCol`, `seqCol`, lonm, latm) — integer lattice
-    *            coordinates, `seqCol` = 0 marks the trail start
+    *            coordinates, `seqCol` = 0 marks the trail start.
+    *            PRECONDITION (ADVICE r5): (`keyCol`, `seqCol`) pairs must
+    *            be UNIQUE — `n_sides` is computed as na + nb raw point-row
+    *            counts, which equals the oracle's distinct-side-tag count
+    *            only when no trail row repeats; a caller with duplicate
+    *            trail rows must pre-distinct or count distinct `seqCol`
+    *            per trail.
     * @return (url_a, url_b, n_sides, h2): co-started trail pairs with
     *         point-count sum and squared symmetric Hausdorff, all BIGINT */
   def hausdorffPairs(pts: DataFrame, keyCol: String = "url",

@@ -216,34 +216,59 @@ object TableLog {
     val sliceIdx = bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
       when(col(cellCol) > b, i + 1).otherwise(acc)
     }
-    val idxed = src.withColumn("_zc_b", sliceIdx)
-    // skewed data can leave quantile slices EMPTY (e.g. one hot cell past
-    // the top boundary); one routing job finds the non-empty ones — an
-    // empty bucket would carry no cell stats and poison mergeClustered.
-    // An EMPTY INPUT still commits one (empty) bucket: a zero-bucket
-    // snapshot would make read() call spark.read.parquet with no paths
-    // and throw, unlike write(), which always commits one bucket.
-    val nonEmpty = idxed.groupBy("_zc_b").agg(count(lit(1)))
-      .collect().map(_.getInt(0)).sorted
-    val present = if (nonEmpty.isEmpty) Array(0) else nonEmpty
+    val idxed = src.withColumn("zcb", sliceIdx)
+    // r6: per-bucket stats (count/min/max cell) come from ONE groupBy over
+    // the checkpointed source — deterministic routing means they equal the
+    // old post-write re-read, at zero file I/O. The same job finds the
+    // non-empty slices (skewed data can leave quantile slices EMPTY, and
+    // an empty bucket would carry no cell stats and poison mergeClustered).
+    val stats = idxed.groupBy("zcb")
+      .agg(count(lit(1)), min(col(cellCol)), max(col(cellCol)))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._1)
     // write every slice dir at snapshot+1 FIRST, then commit ONE snapshot:
     // per-slice commits would expose a partial table to concurrent readers
-    // (and strand one on a mid-write crash) in overwrite/compaction mode
+    // (and strand one on a mid-write crash) in overwrite/compaction mode.
+    // r6: all slices in ONE dynamic-partitioned write job (was one
+    // filter+write job per bucket + one stats re-read per bucket — ~2x
+    // buckets jobs collapsed to 2). Pre-sorting by (zcb, cell) satisfies
+    // the writer's partition-column ordering (no extra sort) AND keeps
+    // each bucket file internally cell-sorted, so parquet row-group
+    // min/max stats stay as tight as the per-bucket writes produced.
     val next = base.map(_.snapshot).getOrElse(0L) + 1
+    val t0 = System.currentTimeMillis()
+    val tmp = f"$table/_zc_tmp_$next%08d"
     var bucketMap = Map.empty[String, BucketMeta]
-    present.foreach { i =>
-      val name = f"cell-$i%04d"
-      val t0 = System.currentTimeMillis()
-      val path = f"$table/data/bucket=$name/v=$next%08d"
-      idxed.filter(col("_zc_b") === i).drop("_zc_b")
-        .sortWithinPartitions(cellCol)
-        .write.mode("overwrite").parquet(path)
-      val r = df.sparkSession.read.parquet(path)
-        .agg(count(lit(1)), min(col(cellCol)), max(col(cellCol))).head()
-      bucketMap += (name -> BucketMeta(path, r.getLong(0),
-        System.currentTimeMillis() - t0,
-        if (r.isNullAt(1)) None else Some(r.getLong(1)),
-        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    if (stats.isEmpty) {
+      // EMPTY INPUT still commits one (empty) bucket: a zero-bucket
+      // snapshot would make read() call spark.read.parquet with no paths
+      // and throw, unlike write(), which always commits one bucket.
+      val path = f"$table/data/bucket=cell-0000/v=$next%08d"
+      idxed.limit(0).drop("zcb").write.mode("overwrite").parquet(path)
+      bucketMap += ("cell-0000" -> BucketMeta(path, 0L,
+        System.currentTimeMillis() - t0, None, None))
+    } else {
+      idxed.sortWithinPartitions(col("zcb"), col(cellCol))
+        .write.mode("overwrite").partitionBy("zcb").parquet(tmp)
+      val wallMs = System.currentTimeMillis() - t0
+      stats.foreach { case (i, (rows, cellMin, cellMax)) =>
+        val name = f"cell-$i%04d"
+        val path = f"$table/data/bucket=$name/v=$next%08d"
+        val target = Paths.get(path)
+        Files.createDirectories(target.getParent)
+        // same-filesystem dir rename: the slice lands whole or not at all
+        Files.move(Paths.get(s"$tmp/zcb=$i"), target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        bucketMap += (name -> BucketMeta(path, rows, wallMs, cellMin, cellMax))
+      }
+      // drop the now-empty staging dir (keeps _SUCCESS etc.)
+      def rm(p: java.nio.file.Path): Unit =
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { Files.deleteIfExists(q); () })
+      rm(Paths.get(tmp))
     }
     val snap = Snapshot(next, base.map(_.snapshot), df.schema.toDDL, srid, mode,
       System.currentTimeMillis(), bucketMap)
