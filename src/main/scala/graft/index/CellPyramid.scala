@@ -218,7 +218,7 @@ object CellPyramid {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, wkb) => pairRowsFor(id, wkb, finest, depth) }
       .toDF("poly_id", "cell", "interior", "wkb")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val interiorPairs = pairs.filter(col("interior")).select("poly_id", "cell")
     val boundaryPairs = pairs.filter(!col("interior")).select("poly_id", "cell")
     val nInterior = interiorPairs.count()

@@ -72,10 +72,11 @@ object Dedup {
     val indexed = sorted.rdd
       .map(_.getString(0))
       .zipWithIndex().map { case (k, i) => (k, i + 1) }
-    // eager localCheckpoint: the dictionary materializes ONCE (an
-    // un-cached RDD would replay distinct+sort+zipWithIndex per consumer)
-    // and the count below reads block sizes instead of recomputing
-    val df = spark.createDataFrame(indexed).toDF(key, "tid").localCheckpoint()
+    // localCheckpoint: the dictionary materializes ONCE (an un-cached RDD
+    // would replay distinct+sort+zipWithIndex per consumer); lazy (r6) so
+    // the count below is the materializing action instead of a separate
+    // checkpoint job
+    val df = spark.createDataFrame(indexed).toDF(key, "tid").localCheckpoint(false)
     // The id join's probe side is the exploded (doc, token) stream — the
     // widest intermediate of the whole dedup suite. A dictionary that fits
     // an executor broadcasts (the stream never enters an exchange; without
@@ -369,7 +370,7 @@ object Dedup {
         .distinct()
     }
     val raw = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).localCheckpoint()
+      .filter(col("u") =!= col("v")).localCheckpoint(false)
     // fast path: if the raw (pre-distinct) edge multiset already fits under
     // the local threshold, collect it directly — union-find dedups repeats
     // for free, so the distinct exchange, its checkpoint write, and the
@@ -378,7 +379,7 @@ object Dedup {
     // duplicate edges still reaches the loop's post-distinct check below.
     if (localThreshold > 0 && raw.count() <= localThreshold)
       return localComponents(pairs.sparkSession, collectEdgesPacked(raw))
-    var e = raw.distinct().localCheckpoint()
+    var e = raw.distinct().localCheckpoint(false)
     // order-independent, overflow-free (ANSI mode) edge-set fingerprint
     def checksum(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
@@ -391,7 +392,7 @@ object Dedup {
       // the edge set is checkpointed, so the count/collect reads blocks
       if (prev._1 <= localThreshold)
         return localComponents(pairs.sparkSession, collectEdgesPacked(e))
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = checksum(e)
       converged = cur == prev
       prev = cur

@@ -68,7 +68,7 @@ object FlowMap {
     * two lattice-keyed equi-joins, one scalar total. The flow table is
     * materialized once for its three consumers. */
   def gravityResiduals(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = odFlows(spark, sfDir).localCheckpoint()
+    val f = odFlows(spark, sfDir).localCheckpoint(false)
     val o = f.groupBy("scx", "scy").agg(sum("flows").as("o_tot"))
     val d = f.groupBy("dcx", "dcy").agg(sum("flows").as("d_tot"))
     val t = f.agg(sum("flows").as("t_tot"))

@@ -55,7 +55,7 @@ object HeavyHitters {
     val summary = toks
       .agg(mgCandidates(xxhash64(col("tok")), k).as("cand"),
         count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cand = summary.select(explode(col("cand")).as("kh")).distinct()
     val confirmed = toks
       .join(broadcast(cand), xxhash64(col("tok")) === cand("kh"), "leftsemi")

@@ -99,7 +99,7 @@ object HostGraph {
   /** q158 entry: link delta between the synthetic crawl snapshots. */
   def docLinkDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val e1 = LinkGraph.synthEdges(docs).localCheckpoint()
+    val e1 = LinkGraph.synthEdges(docs).localCheckpoint(false)
     linkDelta(e1, edgesT2(docs, e1))
   }
 

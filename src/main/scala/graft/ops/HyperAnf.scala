@@ -58,14 +58,14 @@ object HyperAnf {
   /** @return final sparse register table (doc_id, reg, val) after
     *         [[Rounds]] max-merge propagations over OUT-links. */
   def anf(nodes: DataFrame, edges: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val e = edges.localCheckpoint()
-    var state = initState(nodes).localCheckpoint()
+    val e = edges.localCheckpoint(false)
+    var state = initState(nodes).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val prop = e.join(state, e("dst") === state("node"))
         .select(e("src").as("node"), col("reg"), col("val"))
       state = state.unionAll(prop)
         .groupBy("node", "reg").agg(max("val").as("val"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     state.select(col("node").as("doc_id"), col("reg"), col("val"))
   }

@@ -34,7 +34,7 @@ object KneserNey {
   def knCounts(corpus: DataFrame): DataFrame = {
     val arr = corpus.select(
       filter(split(col("text"), " "), t => t =!= "").as("a"))
-      .localCheckpoint() // two consumers: unigram stream, bigram stream
+      .localCheckpoint(false) // two consumers: unigram stream, bigram stream
     val c1 = arr.select(explode(col("a")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     // row-local bigrams; sequence(1, size-1) is guarded because Spark's
@@ -43,7 +43,7 @@ object KneserNey {
       .select(explode(expr(
         "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS w1, a[i] AS w2))")).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2")).agg(count(lit(1)).as("c2"))
-      .localCheckpoint() // two consumers: n_right by w1, n_left by w2
+      .localCheckpoint(false) // two consumers: n_right by w1, n_left by w2
     val nRight = bt.groupBy(col("w1").as("tok")).agg(count(lit(1)).as("n_right"))
     val nLeft = bt.groupBy(col("w2").as("tok")).agg(count(lit(1)).as("n_left"))
     c1.join(nLeft, Seq("tok"), "left").join(nRight, Seq("tok"), "left")

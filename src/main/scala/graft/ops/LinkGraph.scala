@@ -56,7 +56,7 @@ object LinkGraph {
     // materialize the (src, dst, deg) table once: every iteration probes
     // it, and without the cut the edge synthesis + degree groupBy replay
     // `iters` times (lineage also stays flat across rounds)
-    val e = edges.join(outdeg, "src").localCheckpoint()
+    val e = edges.join(outdeg, "src").localCheckpoint(false)
     var pr = nodes.select(col("doc_id"), lit(Scale).as("pr"))
     for (_ <- 1 to iters) {
       val sums = e.join(pr, e("src") === pr("doc_id"))
@@ -81,7 +81,7 @@ object LinkGraph {
   def pageRankFrom(nodes: DataFrame, edges: DataFrame, start: DataFrame,
                    iters: Int): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(outdeg, "src").localCheckpoint()
+    val e = edges.join(outdeg, "src").localCheckpoint(false)
     var pr = start.select(col("doc_id"), col("pr"))
     for (_ <- 1 to iters) {
       val sums = e.join(pr, e("src") === pr("doc_id"))
@@ -115,8 +115,8 @@ object LinkGraph {
                              repairIters: Int = 2): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nodes = docs.select("doc_id")
-    val e1 = synthEdges(docs).localCheckpoint()
-    val old = pageRank(nodes, e1, 5).localCheckpoint()
+    val e1 = synthEdges(docs).localCheckpoint(false)
+    val old = pageRank(nodes, e1, 5).localCheckpoint(false)
     pageRankFrom(nodes, HostGraph.edgesT2(docs, e1), old, repairIters)
   }
 
@@ -208,7 +208,7 @@ object LinkGraph {
     val o = und.join(lo, "a").join(hi, "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wedges = o.as("o1").join(o.as("o2"), col("o1.dst") === col("o2.src"))
       .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
     val tri = wedges.join(o.as("o3"),
@@ -255,8 +255,8 @@ object LinkGraph {
   def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
               maxHops: Int = BfsMaxHops): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val e = edges.localCheckpoint()
-    var levels = List(seeds.select(col("doc_id"), lit(0L).as("hop")).localCheckpoint())
+    val e = edges.localCheckpoint(false)
+    var levels = List(seeds.select(col("doc_id"), lit(0L).as("hop")).localCheckpoint(false))
     var frontier = levels.head.select("doc_id")
     var r = 1
     var exhausted = false
@@ -266,7 +266,7 @@ object LinkGraph {
         .select(col("dst").as("doc_id")).distinct()
         .join(visited, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(r.toLong).as("hop"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       if (next.isEmpty) exhausted = true
       else { levels ::= next; frontier = next.select("doc_id") }
       r += 1
@@ -324,13 +324,13 @@ object LinkGraph {
   def sssp(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
            rounds: Int = SsspRounds): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val e = edges.withColumn("w", edgeWeight).localCheckpoint()
-    var dist = seeds.select(col("doc_id"), lit(0L).as("d")).localCheckpoint()
+    val e = edges.withColumn("w", edgeWeight).localCheckpoint(false)
+    var dist = seeds.select(col("doc_id"), lit(0L).as("d")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val cand = dist.join(e, dist("doc_id") === e("src"))
         .select(col("dst").as("doc_id"), (col("d") + col("w")).as("d"))
       dist = dist.unionAll(cand)
-        .groupBy("doc_id").agg(min("d").as("d")).localCheckpoint()
+        .groupBy("doc_id").agg(min("d").as("d")).localCheckpoint(false)
     }
     nodes.join(dist, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("d"), lit(-1L)).as("dist"))
@@ -417,7 +417,7 @@ object LinkGraph {
             k: Long = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
     val sym = edges.select("src", "dst")
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     def coreDeg(alive: DataFrame): DataFrame = sym
       .join(alive.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
@@ -425,7 +425,7 @@ object LinkGraph {
     var alive = nodes.select("doc_id")
     for (_ <- 1 to rounds)
       alive = coreDeg(alive).filter(col("deg") >= k)
-        .select(col("src").as("doc_id")).localCheckpoint()
+        .select(col("src").as("doc_id")).localCheckpoint(false)
     coreDeg(alive).select(col("src").as("doc_id"), col("deg"))
   }
 
@@ -481,7 +481,7 @@ object LinkGraph {
     * from CURRENT hubs, then hubs from the NEW authorities. Edges are
     * materialized once; nothing driver-side. */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val n = nodes.select("doc_id")
     var hub = n.select(col("doc_id"), lit(Scale).as("h"))
     var auth = n.select(col("doc_id"), lit(Scale).as("a"))
@@ -504,7 +504,7 @@ object LinkGraph {
     * checkpoint argument, but per round because HITS consumes each
     * intermediate twice where PageRank consumes it once). */
   private def normalizeL1(nodes: DataFrame, raw: DataFrame, out: String): DataFrame = {
-    val r = raw.localCheckpoint()
+    val r = raw.localCheckpoint(false)
     val tot = r.agg(sum("raw").as("tot"))
     Scalars.join(nodes.join(r, Seq("doc_id"), "left"), tot)
       .select(col("doc_id"),
@@ -572,13 +572,13 @@ object LinkGraph {
   def trustRank(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                 iters: Int = 5): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(outdeg, "src").localCheckpoint()
+    val e = edges.join(outdeg, "src").localCheckpoint(false)
     // node table with the per-round teleport vector (Teleport on seeds, 0
     // elsewhere) — probed every round, so materialized once
     val base = nodes.select("doc_id")
       .join(seeds.select(col("doc_id"), lit(Teleport).as("tel")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("tel"), lit(0L)).as("tel"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var tr = base.select(col("doc_id"),
       when(col("tel") > 0, lit(Scale)).otherwise(lit(0L)).as("tr"))
     for (_ <- 1 to iters) {
@@ -642,7 +642,7 @@ object LinkGraph {
     * its endpoint degrees; ONE global partial aggregate. Degree sums are
     * ≤ maxdeg²·m — BIGINT-safe for any real web graph. */
   def assortativity(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val od = e.groupBy("src").agg(count(lit(1)).as("x"))
     val id = e.groupBy("dst").agg(count(lit(1)).as("y"))
     e.join(od, "src").join(id, "dst")
@@ -695,7 +695,7 @@ object LinkGraph {
     * One groupBy on the unordered pair, min-support filter, all BIGINT. */
   def coCitation(edges: DataFrame, maxOutDeg: Long = CoCiteMaxOut,
                  minCommon: Long = CoCiteMin): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val keep = e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= maxOutDeg), "src")
@@ -745,7 +745,7 @@ object LinkGraph {
   def salsa(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
     val indeg = edges.groupBy("dst").agg(count(lit(1)).as("ideg"))
-    val e = edges.join(outdeg, "src").join(indeg, "dst").localCheckpoint()
+    val e = edges.join(outdeg, "src").join(indeg, "dst").localCheckpoint(false)
     val n = nodes.select("doc_id")
     var hub = n.select(col("doc_id"), lit(Scale).as("h"))
     var auth = n.select(col("doc_id"), lit(Scale).as("a"))

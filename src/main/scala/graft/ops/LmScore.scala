@@ -42,7 +42,7 @@ object LmScore {
       .withColumn("w2", lead(col("tok"), 1).over(w))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("tok").as("w1"), col("w2"))
-      .localCheckpoint() // three consumers: cnt2, cnt1, the scoring join
+      .localCheckpoint(false) // three consumers: cnt2, cnt1, the scoring join
     val cnt2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cnt1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
     val perDoc = big.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))

@@ -33,7 +33,7 @@ object Outliers {
     // two consumers (MAD histogram + final flags): materialize once
     val withMed = ev.join(med, "user_id")
       .withColumn("dev", abs(col("v") - col("med")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val mad = CorpusOps.groupQuantiles(withMed, "dev", "user_id", Seq(50))
       .select(col("user_id"), col("qval").as("mad"))
     withMed.join(mad, "user_id")

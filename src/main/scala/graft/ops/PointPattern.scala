@@ -94,11 +94,11 @@ object PointPattern {
     val prs = epsPairs(cs, eps)
       .withColumn("ka", col("ax") * KeyMul + col("ay"))
       .withColumn("kc", col("cx") * KeyMul + col("cy"))
-      .localCheckpoint() // reused by the core test, core edges, and borders
+      .localCheckpoint(false) // reused by the core test, core edges, and borders
     // |N_eps(a)| including a itself (the a==a pair carries ma)
     val nbr = prs.groupBy("ka").agg(sum("mc").as("nm"))
     val core = nbr.filter(col("nm") >= minPts).select(col("ka").as("k"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val coreEdges = prs
       .join(core.withColumnRenamed("k", "ka"), Seq("ka"), "left_semi")
       .join(core.withColumnRenamed("k", "kc"), Seq("kc"), "left_semi")
@@ -110,7 +110,7 @@ object PointPattern {
     // themselves
     val coreLbl = core.join(comp, Seq("k"), "left")
       .select(col("k"), coalesce(col("component"), col("k")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // border: non-core coord with >= 1 core neighbor takes the MIN core
     // label (deterministic tie-break of DBSCAN's assignment ambiguity)
     val border = prs
@@ -192,11 +192,11 @@ object PointPattern {
     * The per-round `isEmpty` driver check is bounded by those 3 rounds —
     * same discipline as the BFS/CC round loops. */
   def nnDistance(pts: DataFrame): DataFrame = {
-    val cs = coords(pts).localCheckpoint()
+    val cs = coords(pts).localCheckpoint(false)
     var resolved = cs.filter(col("m") >= 2)
       .select(col("lonm"), col("latm"), lit(0L).as("nnd2"))
     var unresolved = cs.filter(col("m") === 1)
-      .select("lonm", "latm", "m").localCheckpoint()
+      .select("lonm", "latm", "m").localCheckpoint(false)
     var r = 16L
     // world span is 7200 x 2800 lattice units -> diagonal < 7727; x32
     // growth caps the loop at 3 rounds (16, 512, 16384) — each round is
@@ -211,10 +211,10 @@ object PointPattern {
         .filter(col("ax") =!= col("cx") || col("ay") =!= col("cy"))
         .groupBy("ax", "ay").agg(min("d2").as("nnd2"))
         .select(col("ax").as("lonm"), col("ay").as("latm"), col("nnd2"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       resolved = resolved.unionAll(found)
       unresolved = unresolved.join(found, Seq("lonm", "latm"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       r *= 32
     }
     pts.join(resolved, Seq("lonm", "latm"), "left")

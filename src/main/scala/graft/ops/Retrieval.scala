@@ -80,7 +80,7 @@ object Retrieval {
   def tfIdfTopK(docs: DataFrame, k: Int = K, qmod: Int = 50): DataFrame = {
     // materialized once for its three consumers (df weights, query side,
     // candidate side) — same discipline as the dedup suite's capped tables
-    val posting = toks(docs).localCheckpoint()
+    val posting = toks(docs).localCheckpoint(false)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // df cap drops corpus-wide stopwords BEFORE the candidate join; the
     // weight table is tiny (vocab-sized) — broadcast to both consumers
@@ -148,7 +148,7 @@ object Retrieval {
     * idfw*22*tf*sumdl stays under 2^63 while tf*sumdl < ~4e12 — documents
     * corpora to ~1e10 total tokens; past that, rescale Bm25Scale. */
   def bm25TopKInt(docs: DataFrame, k: Int = K, qmod: Int = 50): DataFrame = {
-    val posting = toks(docs).localCheckpoint() // 4 consumers, see tfIdfTopK
+    val posting = toks(docs).localCheckpoint(false) // 4 consumers, see tfIdfTopK
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val dl = posting.groupBy("doc_id").agg(sum("tf").as("dl"))
     val sc = dl.agg(sum("dl").as("sumdl"), count(lit(1)).as("m_docs"))
@@ -207,7 +207,7 @@ object Retrieval {
     * Query-side tf is presence (standard for short queries). */
   def bm25TopK(docs: DataFrame, k: Int = K, qmod: Int = 50,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val posting = toks(docs).localCheckpoint() // 4 consumers, see tfIdfTopK
+    val posting = toks(docs).localCheckpoint(false) // 4 consumers, see tfIdfTopK
     val dl = posting.groupBy("doc_id").agg(sum("tf").as("dl"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val avg = dl.agg((sum("dl") / count(lit(1))).as("avgdl"))

@@ -55,7 +55,7 @@ object Sketches {
     // two consumers (sketch pass + truth side) — materialize the id'd
     // stream once
     val ids = toks.join(Dedup.vocab(toks), "tok").select(col("tok"), col("tid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counters = ids.agg(cms(col("tid"), lit(1L), depth, width).as("cms"))
     val truth = ids.groupBy("tok", "tid").agg(count(lit(1)).as("true_n"))
       .filter(col("true_n") >= minCount)
@@ -192,9 +192,9 @@ object Sketches {
     val toks = docs.select(col("doc_id"),
       explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
     val ids = toks.join(Dedup.vocab(toks), "tok")
-      .select(col("doc_id"), col("tok"), col("tid")).localCheckpoint()
+      .select(col("doc_id"), col("tok"), col("tid")).localCheckpoint(false)
     val evalKeys = ids.filter(col("doc_id") % evalMod === 0)
-      .select(col("tok"), col("tid")).distinct().localCheckpoint()
+      .select(col("tok"), col("tid")).distinct().localCheckpoint(false)
     val words = broadcast(bloomBuild(evalKeys.select(col("tid"))))
     val vocabToks = ids.select(col("tok"), col("tid")).distinct()
     // probe: all K positions must find a set bit; a missing word row is a

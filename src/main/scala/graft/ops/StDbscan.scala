@@ -95,10 +95,10 @@ object StDbscan {
       .unionAll(undirected.filter(col("ka") =!= col("kc"))
         .select(col("kc").as("ka"), col("ka").as("kc"),
           col("mc").as("ma"), col("ma").as("mc")))
-      .localCheckpoint() // reused by core test, core edges, and borders
+      .localCheckpoint(false) // reused by core test, core edges, and borders
     val core = prs.groupBy("ka").agg(sum("mc").as("nm"))
       .filter(col("nm") >= minPts).select(col("ka").as("k"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val coreEdges = prs
       .join(core.withColumnRenamed("k", "ka"), Seq("ka"), "left_semi")
       .join(core.withColumnRenamed("k", "kc"), Seq("kc"), "left_semi")
@@ -113,7 +113,7 @@ object StDbscan {
       .select(col("doc_id").as("k"), col("component"))
     val coreLbl = core.join(comp, Seq("k"), "left")
       .select(col("k"), coalesce(col("component"), col("k")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val border = prs
       .join(core.withColumnRenamed("k", "ka"), Seq("ka"), "left_anti")
       .join(coreLbl.withColumnRenamed("k", "kc"), Seq("kc"))

@@ -45,7 +45,7 @@ object StupidBackoff {
   def score(corpus: DataFrame): DataFrame = {
     val arr = corpus.select(col("doc_id"),
       filter(split(col("text"), " "), t => t =!= "").as("a"))
-      .localCheckpoint() // consumers: uni/bi/tri count streams + scoring
+      .localCheckpoint(false) // consumers: uni/bi/tri count streams + scoring
     val train = arr.filter(col("doc_id") % TrainMod =!= 0)
     val uni = train.select(explode(col("a")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -58,7 +58,7 @@ object StupidBackoff {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(a) - 1), i -> struct(a[i-2] AS w1, a[i-1] AS w2, a[i] AS w3))")).as("t"))
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
-      .localCheckpoint() // consumers: the trigram count table + scoring
+      .localCheckpoint(false) // consumers: the trigram count table + scoring
     val triCnt = tri.filter(col("doc_id") % TrainMod =!= 0)
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
     val total = uni.agg(sum("c1").as("t_tokens"))
