@@ -27,14 +27,23 @@ object Collocations {
     * @return (w1, w2, c_xy, c1, c2, n_tokens) for every adjacent pair
     *         with c_xy >= MinCount — all counts BIGINT */
   def pmiPairs(docs: DataFrame, minCount: Long = MinCount): DataFrame = {
-    val arr = filter(split(col("text"), " "), t => t =!= "")
+    // tokenize ONCE: the bigram and unigram subtrees each re-ran the full
+    // split+filter tokenization of the corpus as independent plan branches;
+    // the materialized token-array table (corpus-sized rows, array cells)
+    // feeds both explodes (r6; at scale substitute a reliable checkpoint
+    // or recompute — the split is cheap relative to its two shuffles, and
+    // the cut also halves the scan)
+    val toka = docs
+      .select(filter(split(col("text"), " "), t => t =!= "").as("a"))
+      .localCheckpoint(false)
+    val arr = col("a")
     // guard: sequence(0, n) DESCENDS for n < 0 — single-token docs get
     // no bigrams (same discipline as Dedup.shingleArr)
     val bigrams = when(size(arr) >= 2,
       transform(sequence(lit(0), size(arr) - 2), i =>
         struct(element_at(arr, i + 1).as("w1"), element_at(arr, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bcnt = docs.select(explode(bigrams).as("b"))
+    val bcnt = toka.select(explode(bigrams).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
@@ -44,7 +53,7 @@ object Collocations {
     // agg over the vocab-bounded table), which drops the second full
     // token-explode pass the r5 verdict flagged (guide §2.3 "aggregate
     // before you shuffle": the corpus stream is scanned once, not twice)
-    val uni = docs.select(explode(arr).as("w"))
+    val uni = toka.select(explode(arr).as("w"))
     val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint(false)
     val n = ucnt.agg(sum("c").as("n_tokens"))
     Scalars.join(
