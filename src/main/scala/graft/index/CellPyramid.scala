@@ -51,9 +51,15 @@ object CellPyramid {
   def build(points: DataFrame, lonCol: String, latCol: String,
             finest: Int, depth: Int): DataFrame = {
     require(depth >= 0 && finest - depth >= 0, s"bad pyramid $finest/$depth")
+    // materialize the finest level ONCE (r6): every coarser level derives
+    // from it and the final union reads it depth+1 times — without the cut
+    // each level re-executes the full point scan + groupBy (for the entity
+    // layer: a page-synthesis + extraction pass per level). Cell-count
+    // sized (bounded by the finest grid), never point-sized.
     val base = points
       .groupBy(cellCol(col(lonCol), col(latCol), finest).as("cell"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val levels = Iterator.iterate(base) { cur =>
       // parent of (level, x, y) is (level-1, x/2, y/2): rebuild the packed
       // id from shifted fields — pure int64 column math

@@ -57,7 +57,11 @@ object StDbscan {
   def clusterCoords(ev: DataFrame, eps1: Long = Eps1, eps2: Long = Eps2,
                     minPts: Long = MinPts): DataFrame = {
     require(eps1 >= 1 && eps2 >= 1, s"eps must be >= 1: $eps1/$eps2")
+    // materialized once (r6): cs feeds the join's left side, its right
+    // side, and the final label attach — three executions of the event
+    // scan + groupBy without the cut. Distinct-coord sized.
     val cs = ev.groupBy("x", "y", "day").agg(count(lit(1)).as("m"))
+      .localCheckpoint(false)
     // half-neighborhood: of the 27 block offsets, only the self block plus
     // the 13 lexicographically-positive ones are probed — each unordered
     // pair of blocks meets exactly once (for a negative delta the reversed

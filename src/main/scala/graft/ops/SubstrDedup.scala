@@ -66,8 +66,13 @@ object SubstrDedup {
     val wkey = (1 until k).foldLeft[org.apache.spark.sql.Column](col("tid")) {
       (acc, j) => pmod(acc * B + col(s"_l$j"), lit(Dedup.P))
     }
+    // materialized once (r6): wins feeds the duplicated-key groupBy AND
+    // the semi-join probe — without the cut each consumer re-executes the
+    // tokenize explode + vocab join + K-1-lead window. One row per token
+    // position, the same volume the window exchange already moved.
     val wins = withLeads.filter(col(s"_l${k - 1}").isNotNull)
       .select(col("doc_id"), col("i"), wkey.as("wkey"))
+      .localCheckpoint(false)
 
     val dup = wins.groupBy("wkey").agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2).select("wkey")
