@@ -68,6 +68,18 @@ object StreamReplay {
     // session's value.
     val prev = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", "2")
+    // r6: every processAllAvailable also runs watermark-only no-data
+    // micro-batches (a full state-store commit cycle with zero input).
+    // The replays never rely on them: each feeds its next chunk as a DATA
+    // batch, and the sessionize timeout flush is driven by the two
+    // sentinel DATA rounds (watermark advanced by round 2's batch, timers
+    // fire inside round 3's). Disabling trims ~1 commit cycle per chunk;
+    // restored after the run — production queries keep their session's
+    // default (on), which matters for low-traffic streams where timers
+    // must fire without new data.
+    val prevNoData = sess.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt.getAbsolutePath).start()
@@ -80,7 +92,10 @@ object StreamReplay {
         }
         try rm(ckpt) catch { case _: Throwable => () }
       }
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prev)
+      sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     sess.table(name)
   }
 
