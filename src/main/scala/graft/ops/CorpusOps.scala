@@ -91,8 +91,12 @@ object CorpusOps {
     // COALESCE — without it, size(split(NULL)) = -1 turns n_removed
     // negative and the doc vanishes from the explode side
     val textNN = coalesce(col("text"), lit(""))
+    // materialized once (r6): lines feeds the boilerplate groupBy, the
+    // anti-join probe, AND (as a per-doc count) the full-doc base below —
+    // without the cut each consumer re-ran the corpus synth + explode.
     val lines = docs.select(col("doc_id"),
       posexplode(split(textNN, "\n")).as(Seq("pos", "line")))
+      .localCheckpoint(false)
     val boiler = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -105,8 +109,11 @@ object CorpusOps {
             s => s.getField("line")), "\n").as("clean_text"),
         count(lit(1)).as("n_kept"))
     // left join from the full doc list: a doc whose every line was
-    // boilerplate still gets a row (empty clean_text, full n_removed)
-    docs.select(col("doc_id"), size(split(textNN, "\n")).cast("long").as("n0"))
+    // boilerplate still gets a row (empty clean_text, full n_removed).
+    // n0 comes from the materialized lines (split of a non-null string
+    // always yields >= 1 element, so every doc has >= 1 line row and the
+    // per-doc line count == size(split(text))) — no third corpus pass.
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n0"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -47,13 +47,18 @@ object StupidBackoff {
       filter(split(col("text"), " "), t => t =!= "").as("a"))
       .localCheckpoint(false) // consumers: uni/bi/tri count streams + scoring
     val train = arr.filter(col("doc_id") % TrainMod =!= 0)
+    // count tables materialized once (r6): uni has three consumers (both
+    // scoring joins + the total scalar) and bi two — each re-ran its full
+    // train-corpus explode + groupBy per consumer. Vocab-bounded tables.
     val uni = train.select(explode(col("a")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
     val bi = train.filter(size(col("a")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS w1, a[i] AS w2))")).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
     val tri = arr.filter(size(col("a")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(a) - 1), i -> struct(a[i-2] AS w1, a[i-1] AS w2, a[i] AS w3))")).as("t"))
