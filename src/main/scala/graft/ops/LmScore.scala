@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical language-model quality scoring — the CCNet/Wenzek-style
@@ -19,13 +18,18 @@ import org.apache.spark.sql.functions._
   * cross-engine bit contract; the scaled-probability sum ranks documents
   * the same way for filtering purposes).
   *
-  * Scale shape: one doc_id exchange builds the bigram stream (lead
-  * window); the model is two map-side-combined groupBys over that stream
-  * (vocab²-bounded, NOT corpus-bounded); scoring is two equi-joins of the
-  * stream against the model tables — each stream row matches exactly one
-  * model row, so there is no fan-out and no heavy-hitter cap needed; the
-  * per-doc rollup is one more partial-agg groupBy. The stream is
-  * localCheckpointed once for its three consumers (cnt2, cnt1, scoring).
+  * Scale shape (r6): the bigram stream is ROW-LOCAL — adjacent pairs of
+  * the split token array via `transform`, no window, no doc_id exchange
+  * (the r5 form paid one full exchange + sort just to pair each token
+  * with its successor, which the row already holds); the model is one
+  * map-side-combined groupBy over that stream (vocab²-bounded, NOT
+  * corpus-bounded) and cnt1 derives from cnt2 by a second vocab-bounded
+  * groupBy (sum over w2) instead of re-scanning the corpus stream;
+  * scoring is two equi-joins of the stream against the model tables —
+  * each stream row matches exactly one model row, so there is no fan-out
+  * and no heavy-hitter cap needed; the per-doc rollup is one more
+  * partial-agg groupBy. The stream is localCheckpointed once for its two
+  * consumers (cnt2, scoring).
   */
 object LmScore {
 
@@ -35,16 +39,17 @@ object LmScore {
   /** @return (doc_id, n_bigrams, score_u) for EVERY corpus doc; docs with
     *         fewer than 2 tokens get (0, 0). */
   def lmScore(corpus: DataFrame): DataFrame = {
-    val toks = corpus.select(col("doc_id"),
-      posexplode(filter(split(col("text"), " "), t => t =!= "")).as(Seq("i", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    val big = toks
-      .withColumn("w2", lead(col("tok"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
-      .localCheckpoint(false) // three consumers: cnt2, cnt1, the scoring join
+    val big = corpus
+      .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(a, 1, size(a) - 1), (t, j) -> struct(t AS w1, a[j + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(false) // two consumers: cnt2, the scoring join
     val cnt2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cnt1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c1(w1) = sum_w2 c2(w1, w2): derived from the vocab²-bounded count
+    // table, not a second pass over the corpus-sized bigram stream
+    val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))
     val perDoc = big.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
       .select(col("doc_id"), floor(col("c2") / col("c1") * ScaleU).as("_p"))
       .groupBy("doc_id")
